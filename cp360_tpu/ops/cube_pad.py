@@ -1,0 +1,326 @@
+"""Cube padding — the paper's core op — as a single precomputed gather.
+
+Reference semantics: model/cube_pad.py:45-216.  Each of the 6 cube faces is
+padded with pixel strips taken from its 4 neighbour faces (flipped/transposed
+to match edge orientation), with the 4 corner blocks filled by replicating
+the adjacent edge strip of the top/down plates.  Face order is B D F L R T
+(back, down, front, left, right, top), matching cp360_tpu.geometry.sph.
+
+TPU-first design: for a given (H, W, pads) the padded output is a *fixed
+permutation with replication* of the input pixels.  We therefore compute,
+once per shape (cached), an int32 index map ``src[6, H+pt+pd, W+pl+pr]``
+into the flattened [6*H*W] face-pixel axis; the runtime op is one
+``jnp.take`` — a single XLA gather, no slicing/concat chains, no Python
+loops over the batch (the reference loops per cube, model/cube_pad.py:36-41).
+
+The index map itself is built by running the neighbour-strip slice/flip/
+transpose logic *on an array of linear indices* — so the gather map is, by
+construction, exactly the permutation the reference's tensor-level ops
+produce.
+
+Autodiff: gather has a clean transpose (scatter-add), so this op is fully
+differentiable — needed for the ConvLSTM training path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Pads = Union[int, Sequence[int]]
+
+
+def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:
+    """Normalize pad spec to (left, right, top, down).
+
+    Reference: model/cube_pad.py:12-20 (an int means uniform padding).
+    """
+    if isinstance(lrtd_pad, (int, np.integer)):
+        return (int(lrtd_pad),) * 4
+    p_l, p_r, p_t, p_d = (int(p) for p in lrtd_pad)
+    return p_l, p_r, p_t, p_d
+
+
+# ---------------------------------------------------------------------------
+# Host-side index-map construction (NumPy, cached per shape).
+# ---------------------------------------------------------------------------
+
+
+def _build_plates(faces: np.ndarray, p_l: int, p_r: int, p_t: int, p_d: int):
+    """Neighbour-strip plates for each face, on an arbitrary per-face array.
+
+    ``faces`` is [6, H, W] (here: linear indices).  Returns dict of plates
+    top/down [6, p, W] and left/right [6, H, p] (None when pad is 0).
+    Strip choices mirror reference model/cube_pad.py:114-162; `[::-1]` on an
+    axis is the reference's flip(), `.T`-style swapaxes is its permute.
+    """
+    b, d, f, l, r, t = faces  # noqa: E741 — face initials match the paper
+
+    top = down = left = right = None
+    if p_t:
+        top = np.stack(
+            [
+                t[:p_t, :][:, ::-1],  # back   <- top's top rows, W-flipped
+                f[-p_t:, :],  # down   <- front's bottom rows
+                t[-p_t:, :],  # front  <- top's bottom rows
+                t[:, :p_t].swapaxes(0, 1),  # left <- top's left cols, transposed
+                t[:, -p_t:].swapaxes(0, 1)[:, ::-1],  # right <- top's right cols, transposed + W-flip
+                b[:p_t, :][:, ::-1],  # top    <- back's top rows, W-flipped
+            ]
+        )
+    if p_d:
+        down = np.stack(
+            [
+                d[-p_d:, :][:, ::-1],  # back  <- down's bottom rows, W-flipped
+                b[-p_d:, :][:, ::-1],  # down  <- back's bottom rows, W-flipped
+                d[:p_d, :],  # front <- down's top rows
+                d[:, :p_d].swapaxes(0, 1)[:, ::-1],  # left <- down's left cols, transposed + W-flip
+                d[:, -p_d:].swapaxes(0, 1),  # right <- down's right cols, transposed
+                f[:p_d, :],  # top   <- front's top rows
+            ]
+        )
+    if p_l:
+        left = np.stack(
+            [
+                r[:, -p_l:],  # back  <- right's right cols
+                l[-p_l:, :].swapaxes(0, 1)[::-1, :],  # down <- left's bottom rows, transposed + H-flip
+                l[:, -p_l:],  # front <- left's right cols
+                b[:, -p_l:],  # left  <- back's right cols
+                f[:, -p_l:],  # right <- front's right cols
+                l[:p_l, :].swapaxes(0, 1),  # top   <- left's top rows, transposed
+            ]
+        )
+    if p_r:
+        right = np.stack(
+            [
+                l[:, :p_r],  # back  <- left's left cols
+                r[-p_r:, :].swapaxes(0, 1),  # down <- right's bottom rows, transposed
+                r[:, :p_r],  # front <- right's left cols
+                f[:, :p_r],  # left  <- front's left cols
+                b[:, :p_r],  # right <- back's left cols
+                r[:p_r, :].swapaxes(0, 1)[::-1, :],  # top <- right's top rows, transposed + H-flip
+            ]
+        )
+    return top, down, left, right
+
+
+def _corner(feat_td: np.ndarray, feat_lr: np.ndarray) -> np.ndarray:
+    """Corner block by edge replication (reference model/cube_pad.py:83-90).
+
+    feat_td: [6, td_pad, 1] column slice of the top/down plate.
+    feat_lr: [6, 1, lr_pad] row slice of the left/right plate.
+    The larger pad dimension wins; on ties the td strip is column-tiled.
+    """
+    td_pad = feat_td.shape[1]
+    lr_pad = feat_lr.shape[2]
+    if td_pad > lr_pad:
+        return np.tile(feat_lr, (1, td_pad, 1))
+    return np.tile(feat_td, (1, 1, lr_pad))
+
+
+@lru_cache(maxsize=64)
+def build_cube_pad_index_map(h: int, w: int, lrtd_pad) -> np.ndarray:
+    """int32 gather map [6, H+pt+pd, W+pl+pr] into the flat [6*H*W] axis."""
+    p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+    if (p_l or p_r or p_t or p_d) and h != w:
+        # Transposed neighbour strips only line up on square faces.
+        raise ValueError(f"cube padding requires square faces, got {h}x{w}")
+
+    idx = np.arange(6 * h * w, dtype=np.int64).reshape(6, h, w)
+    top, down, left, right = _build_plates(idx, p_l, p_r, p_t, p_d)
+
+    # Corners (reference model/cube_pad.py:165-176).
+    p_tr = _corner(top[:, -p_t:, -1:], right[:, :1, :p_r]) if (p_t and p_r) else None
+    p_tl = _corner(top[:, :p_t, :1], left[:, :1, :p_l]) if (p_t and p_l) else None
+    p_dr = _corner(down[:, -p_d:, -1:], right[:, -1:, -p_r:]) if (p_d and p_r) else None
+    p_dl = _corner(down[:, :p_d, :1], left[:, -1:, -p_l:]) if (p_d and p_l) else None
+
+    # Assemble (reference model/cube_pad.py:179-216): middle column gets the
+    # top/down plates; the left/right columns span the full padded height
+    # with their corners.
+    mid = idx
+    if p_t:
+        mid = np.concatenate([top, mid], axis=1)
+    if p_d:
+        mid = np.concatenate([mid, down], axis=1)
+
+    cols = []
+    if p_l:
+        lcol = left
+        if p_tl is not None:
+            lcol = np.concatenate([p_tl, lcol], axis=1)
+        if p_dl is not None:
+            lcol = np.concatenate([lcol, p_dl], axis=1)
+        cols.append(lcol)
+    cols.append(mid)
+    if p_r:
+        rcol = right
+        if p_tr is not None:
+            rcol = np.concatenate([p_tr, rcol], axis=1)
+        if p_dr is not None:
+            rcol = np.concatenate([rcol, p_dr], axis=1)
+        cols.append(rcol)
+
+    out = np.concatenate(cols, axis=2)
+    assert out.shape == (6, h + p_t + p_d, w + p_l + p_r)
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Runtime ops (JAX).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("lrtd_pad",))
+def cube_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
+    """Cube-pad a batch of cubemaps, NHWC.
+
+    Args:
+      x: [N, 6, H, W, C] (or [6, H, W, C]) array of cube faces in B D F L R T
+         order.
+      lrtd_pad: int or (left, right, top, down) pads.
+
+    Returns:
+      [N, 6, H+pt+pd, W+pl+pr, C] padded faces — one XLA gather.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    n, six, h, w, c = x.shape
+    assert six == 6, f"expected a 6-face axis, got {six}"
+    p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+    if (p_l, p_r, p_t, p_d) == (0, 0, 0, 0):
+        return x[0] if squeeze else x
+
+    idx = jnp.asarray(build_cube_pad_index_map(h, w, (p_l, p_r, p_t, p_d)))
+    flat = x.reshape(n, 6 * h * w, c)
+    out = jnp.take(flat, idx.reshape(-1), axis=1)
+    out = out.reshape(n, 6, h + p_t + p_d, w + p_l + p_r, c)
+    return out[0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=("lrtd_pad",))
+def zero_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
+    """Zero-padding ablation baseline (config key ``cube_pad: false``).
+
+    The reference's ZeroPad is commented out yet still referenced
+    (model/cube_pad.py:219-254 vs model/resnet_cubic.py:73) — we ship a
+    working one.  Same signature as :func:`cube_pad`.
+    """
+    p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+    pad_cfg = [(0, 0)] * (x.ndim - 3) + [(p_t, p_d), (p_l, p_r), (0, 0)]
+    return jnp.pad(x, pad_cfg)
+
+
+def cube_pad_explicit(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
+    """Slice/flip/concat implementation — in-repo oracle for the gather map.
+
+    Follows the same plate construction as the index-map builder but on the
+    data itself (the shape the reference computes tensor-by-tensor,
+    model/cube_pad.py:95-216).  Used by tests to cross-check
+    :func:`cube_pad`; prefer :func:`cube_pad` everywhere else.
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    n, six, h, w, c = x.shape
+    p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+
+    # [N,6,H,W,C] -> per-face [N,H,W,C] views, build plates with jnp.
+    faces = [x[:, i] for i in range(6)]
+    b, d, f, l, r, t = faces  # noqa: E741
+
+    def tr(a):  # transpose H<->W
+        return jnp.swapaxes(a, 1, 2)
+
+    top = down = left = right = None
+    if p_t:
+        top = jnp.stack(
+            [
+                t[:, :p_t, :][:, :, ::-1],
+                f[:, -p_t:, :],
+                t[:, -p_t:, :],
+                tr(t[:, :, :p_t]),
+                tr(t[:, :, -p_t:])[:, :, ::-1],
+                b[:, :p_t, :][:, :, ::-1],
+            ],
+            axis=1,
+        )
+    if p_d:
+        down = jnp.stack(
+            [
+                d[:, -p_d:, :][:, :, ::-1],
+                b[:, -p_d:, :][:, :, ::-1],
+                d[:, :p_d, :],
+                tr(d[:, :, :p_d])[:, :, ::-1],
+                tr(d[:, :, -p_d:]),
+                f[:, :p_d, :],
+            ],
+            axis=1,
+        )
+    if p_l:
+        left = jnp.stack(
+            [
+                r[:, :, -p_l:],
+                tr(l[:, -p_l:, :])[:, ::-1, :],
+                l[:, :, -p_l:],
+                b[:, :, -p_l:],
+                f[:, :, -p_l:],
+                tr(l[:, :p_l, :]),
+            ],
+            axis=1,
+        )
+    if p_r:
+        right = jnp.stack(
+            [
+                l[:, :, :p_r],
+                tr(r[:, -p_r:, :]),
+                r[:, :, :p_r],
+                f[:, :, :p_r],
+                b[:, :, :p_r],
+                tr(r[:, :p_r, :])[:, ::-1, :],
+            ],
+            axis=1,
+        )
+
+    def corner(feat_td, feat_lr):
+        td_pad = feat_td.shape[2]
+        lr_pad = feat_lr.shape[3]
+        if td_pad > lr_pad:
+            return jnp.tile(feat_lr, (1, 1, td_pad, 1, 1))
+        return jnp.tile(feat_td, (1, 1, 1, lr_pad, 1))
+
+    p_tr = corner(top[:, :, -p_t:, -1:], right[:, :, :1, :p_r]) if (p_t and p_r) else None
+    p_tl = corner(top[:, :, :p_t, :1], left[:, :, :1, :p_l]) if (p_t and p_l) else None
+    p_dr = corner(down[:, :, -p_d:, -1:], right[:, :, -1:, -p_r:]) if (p_d and p_r) else None
+    p_dl = corner(down[:, :, :p_d, :1], left[:, :, -1:, -p_l:]) if (p_d and p_l) else None
+
+    mid = x
+    if p_t:
+        mid = jnp.concatenate([top, mid], axis=2)
+    if p_d:
+        mid = jnp.concatenate([mid, down], axis=2)
+
+    cols = []
+    if p_l:
+        lcol = left
+        if p_tl is not None:
+            lcol = jnp.concatenate([p_tl, lcol], axis=2)
+        if p_dl is not None:
+            lcol = jnp.concatenate([lcol, p_dl], axis=2)
+        cols.append(lcol)
+    cols.append(mid)
+    if p_r:
+        rcol = right
+        if p_tr is not None:
+            rcol = jnp.concatenate([p_tr, rcol], axis=2)
+        if p_dr is not None:
+            rcol = jnp.concatenate([rcol, p_dr], axis=2)
+        cols.append(rcol)
+
+    out = jnp.concatenate(cols, axis=3)
+    return out[0] if squeeze else out

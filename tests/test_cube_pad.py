@@ -1,0 +1,116 @@
+"""CubePad: golden parity vs the reference PyTorch op + internal consistency.
+
+Golden fixtures were produced by tools/gen_golden_cube_pad.py running the
+reference model/cube_pad.py on random inputs (all 24 neighbour-strip
+orientations + 4 corners are exercised by the asymmetric-pad cases).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp360_tpu.ops.cube_pad import (
+    build_cube_pad_index_map,
+    cube_pad,
+    cube_pad_explicit,
+    get_pad_size,
+    zero_pad,
+)
+
+GOLDEN = np.load(os.path.join(os.path.dirname(__file__), "golden", "cube_pad.npz"))
+
+CASE_NAMES = sorted({k.rsplit("_", 1)[0] for k in GOLDEN.files if k.endswith("_in")})
+
+
+def nchw_to_cube_nhwc(x):
+    """Reference [6N,C,H,W] -> ours [N,6,H,W,C]."""
+    n = x.shape[0] // 6
+    x = x.reshape(n, 6, x.shape[1], x.shape[2], x.shape[3])
+    return np.transpose(x, (0, 1, 3, 4, 2))
+
+
+def cube_nhwc_to_nchw(x):
+    n, six, h, w, c = x.shape
+    return np.transpose(x, (0, 1, 4, 2, 3)).reshape(n * six, c, h, w)
+
+
+@pytest.mark.parametrize("case", CASE_NAMES)
+def test_golden_parity(case):
+    x = GOLDEN[f"{case}_in"]
+    want = GOLDEN[f"{case}_out"]
+    pad = tuple(int(p) for p in GOLDEN[f"{case}_pad"])
+
+    got = cube_pad(jnp.asarray(nchw_to_cube_nhwc(x)), pad)
+    got = cube_nhwc_to_nchw(np.asarray(got))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("case", CASE_NAMES)
+def test_explicit_matches_gather(case):
+    x = nchw_to_cube_nhwc(GOLDEN[f"{case}_in"])
+    pad = tuple(int(p) for p in GOLDEN[f"{case}_pad"])
+    a = cube_pad(jnp.asarray(x), pad)
+    b = cube_pad_explicit(jnp.asarray(x), pad)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_interior_is_identity():
+    x = np.random.RandomState(1).randn(2, 6, 8, 8, 3).astype(np.float32)
+    y = np.asarray(cube_pad(jnp.asarray(x), 2))
+    np.testing.assert_array_equal(y[:, :, 2:-2, 2:-2, :], x)
+
+
+def test_uniform_int_pad_equals_tuple():
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 6, 8, 8, 2).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(cube_pad(x, 1)), np.asarray(cube_pad(x, (1, 1, 1, 1)))
+    )
+
+
+def test_pad_zero_is_noop():
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 6, 8, 8, 2).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(cube_pad(x, 0)), np.asarray(x))
+
+
+def test_constant_cube_stays_constant():
+    # A sphere with a constant value must pad seamlessly: no seams anywhere.
+    x = jnp.full((1, 6, 16, 16, 4), 3.25, dtype=jnp.float32)
+    y = np.asarray(cube_pad(x, 3))
+    assert (y == 3.25).all()
+
+
+def test_faceless_rank4_input():
+    x = np.random.RandomState(4).randn(6, 8, 8, 3).astype(np.float32)
+    a = np.asarray(cube_pad(jnp.asarray(x), 1))
+    b = np.asarray(cube_pad(jnp.asarray(x)[None], 1))[0]
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (6, 10, 10, 3)
+
+
+def test_index_map_shape_and_range():
+    m = build_cube_pad_index_map(8, 8, (1, 2, 3, 0))
+    assert m.shape == (6, 8 + 3 + 0, 8 + 1 + 2)
+    assert m.min() >= 0 and m.max() < 6 * 8 * 8
+
+
+def test_grad_flows():
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 6, 4, 4, 2).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(cube_pad(v, 1) ** 2))(x)
+    assert g.shape == x.shape
+    assert bool(jnp.any(g != 0))
+
+
+def test_zero_pad():
+    x = jnp.asarray(np.random.RandomState(6).randn(1, 6, 4, 4, 2).astype(np.float32))
+    y = np.asarray(zero_pad(x, (1, 2, 3, 4)))
+    assert y.shape == (1, 6, 4 + 3 + 4, 4 + 1 + 2, 2)
+    np.testing.assert_array_equal(y[:, :, 3:-4, 1:-2, :], np.asarray(x))
+    assert (y[:, :, :3] == 0).all() and (y[:, :, :, :1] == 0).all()
+
+
+def test_get_pad_size():
+    assert get_pad_size(3) == (3, 3, 3, 3)
+    assert get_pad_size([1, 2, 3, 4]) == (1, 2, 3, 4)
