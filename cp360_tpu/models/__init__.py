@@ -1,0 +1,3 @@
+from cp360_tpu.models.resnet import ARCHS, init_resnet_params, resnet_apply
+from cp360_tpu.models.cam import cam_forward, cam_scores, shift_weight_nonneg
+from cp360_tpu.models.clstm import clstm_rollout, clstm_step, init_clstm_params

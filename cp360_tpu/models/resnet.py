@@ -1,0 +1,185 @@
+"""Cube-padded ResNet family (functional JAX, NHWC).
+
+Capability parity with the reference's torchvision-derived family
+(model/resnet_cubic.py:109-263): every spatial zero-padding in the
+Bottleneck/stem path is replaced by cube padding so convolutions see a
+seamless sphere.  Faithfully kept reference behaviours:
+
+- stem: CubePad(3) -> 7x7/s2 VALID conv -> BN -> ReLU -> CubePad(1) ->
+  3x3/s2 VALID maxpool (reference model/resnet_cubic.py:163-170)
+- Bottleneck: CubePad(1) before the 3x3 VALID conv only
+  (model/resnet_cubic.py:92-93)
+- BasicBlock (resnet18/34) does NOT cube-pad — its 3x3 convs keep ordinary
+  zero padding=1, a documented reference quirk (model/resnet_cubic.py:33-62)
+- ``cube_pad=False`` swaps in working zero padding (the reference's ZeroPad
+  is commented out and would crash, model/cube_pad.py:219-254)
+
+TPU-first deltas: the whole forward is one jit-able pure function over
+NHWC; all six faces ride the batch axis (no per-cube Python loop); feature
+maps are returned functionally instead of via forward hooks
+(static_model/class_activation_model.py:36-44).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cp360_tpu.models import layers
+from cp360_tpu.ops import cube_pad as cp_ops
+
+ARCHS = {
+    # name: (block kind, stage depths)
+    "resnet18": ("basic", (2, 2, 2, 2)),
+    "resnet34": ("basic", (3, 4, 6, 3)),
+    "resnet50": ("bottleneck", (3, 4, 6, 3)),
+    "resnet101": ("bottleneck", (3, 4, 23, 3)),
+    "resnet152": ("bottleneck", (3, 8, 36, 3)),
+}
+_EXPANSION = {"basic": 1, "bottleneck": 4}
+
+
+def _pad(x: jax.Array, p: int, use_cube_pad: bool) -> jax.Array:
+    """Pad a face-flattened batch [N*6, H, W, C] (cube- or zero-pad)."""
+    if p == 0:
+        return x
+    nh = x.shape
+    x6 = x.reshape(-1, 6, *nh[1:])
+    x6 = cp_ops.cube_pad(x6, p) if use_cube_pad else cp_ops.zero_pad(x6, p)
+    return x6.reshape(-1, *x6.shape[2:])
+
+
+def _bottleneck(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype) -> jax.Array:
+    out = layers.conv2d(x, p["conv1"]["w"], compute_dtype=dtype)
+    out = layers.batch_norm(out, p["bn1"])
+    out = jax.nn.relu(out)
+
+    out = _pad(out, 1, use_cp)
+    out = layers.conv2d(out, p["conv2"]["w"], stride=stride, compute_dtype=dtype)
+    out = layers.batch_norm(out, p["bn2"])
+    out = jax.nn.relu(out)
+
+    out = layers.conv2d(out, p["conv3"]["w"], compute_dtype=dtype)
+    out = layers.batch_norm(out, p["bn3"])
+
+    if "downsample" in p:
+        res = layers.conv2d(x, p["downsample"]["conv"]["w"], stride=stride, compute_dtype=dtype)
+        res = layers.batch_norm(res, p["downsample"]["bn"])
+    else:
+        res = x
+    return jax.nn.relu(out + res)
+
+
+def _basic_block(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype) -> jax.Array:
+    # Reference BasicBlock keeps zero padding=1 (model/resnet_cubic.py:27-41).
+    del use_cp
+    out = layers.conv2d(x, p["conv1"]["w"], stride=stride, padding=[(1, 1), (1, 1)], compute_dtype=dtype)
+    out = layers.batch_norm(out, p["bn1"])
+    out = jax.nn.relu(out)
+    out = layers.conv2d(out, p["conv2"]["w"], padding=[(1, 1), (1, 1)], compute_dtype=dtype)
+    out = layers.batch_norm(out, p["bn2"])
+    if "downsample" in p:
+        res = layers.conv2d(x, p["downsample"]["conv"]["w"], stride=stride, compute_dtype=dtype)
+        res = layers.batch_norm(res, p["downsample"]["bn"])
+    else:
+        res = x
+    return jax.nn.relu(out + res)
+
+
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "with_logits"))
+def resnet_apply(
+    params: dict,
+    x: jax.Array,
+    arch: str = "resnet50",
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+    with_logits: bool = True,
+) -> Tuple[Optional[jax.Array], jax.Array]:
+    """Forward pass.
+
+    Args:
+      params: nested dict (see ``init_resnet_params`` / compat converter).
+      x: [N, 6, H, W, 3] cube faces (B D F L R T) or [N*6, H, W, 3].
+      compute_dtype: conv compute precision (bf16 on TPU; f32 for parity
+        tests).
+
+    Returns:
+      (logits [N*6, num_classes] or None, layer4 features [N*6, h, w, Cf]).
+    """
+    kind, depths = ARCHS[arch]
+    block = _bottleneck if kind == "bottleneck" else _basic_block
+
+    if x.ndim == 5:
+        x = x.reshape(-1, *x.shape[2:])
+
+    out = _pad(x, 3, use_cube_pad)
+    out = layers.conv2d(out, params["conv1"]["w"], stride=2, compute_dtype=compute_dtype)
+    out = layers.batch_norm(out, params["bn1"])
+    out = jax.nn.relu(out)
+    out = _pad(out, 1, use_cube_pad)
+    out = layers.max_pool(out, 3, 2)
+
+    for li, depth in enumerate(depths):
+        stage = params[f"layer{li + 1}"]
+        for bi in range(depth):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            out = block(stage[bi], out, stride, use_cube_pad, compute_dtype)
+
+    feats = out  # layer4 output — the CAM feature map
+    if not with_logits:
+        return None, feats
+    pooled = layers.avg_pool(out, 7)
+    pooled = pooled.reshape(pooled.shape[0], -1)
+    logits = layers.linear(pooled, params["fc"])
+    return logits, feats
+
+
+def init_resnet_params(
+    key: jax.Array, arch: str = "resnet50", num_classes: int = 1000, dtype=jnp.float32
+) -> dict:
+    """He-initialized parameters (reference init: model/resnet_cubic.py:137-143)."""
+    kind, depths = ARCHS[arch]
+    exp = _EXPANSION[kind]
+    keys = iter(jax.random.split(key, 4 + sum(depths) * 4 + 8))
+
+    params = {
+        "conv1": {"w": layers.he_conv(next(keys), 7, 7, 3, 64, dtype)},
+        "bn1": layers.bn_params(64, dtype),
+    }
+    inplanes = 64
+    for li, depth in enumerate(depths):
+        planes = 64 * (2**li)
+        stage = []
+        for bi in range(depth):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            blk = {}
+            if kind == "bottleneck":
+                blk["conv1"] = {"w": layers.he_conv(next(keys), 1, 1, inplanes, planes, dtype)}
+                blk["bn1"] = layers.bn_params(planes, dtype)
+                blk["conv2"] = {"w": layers.he_conv(next(keys), 3, 3, planes, planes, dtype)}
+                blk["bn2"] = layers.bn_params(planes, dtype)
+                blk["conv3"] = {"w": layers.he_conv(next(keys), 1, 1, planes, planes * exp, dtype)}
+                blk["bn3"] = layers.bn_params(planes * exp, dtype)
+            else:
+                blk["conv1"] = {"w": layers.he_conv(next(keys), 3, 3, inplanes, planes, dtype)}
+                blk["bn1"] = layers.bn_params(planes, dtype)
+                blk["conv2"] = {"w": layers.he_conv(next(keys), 3, 3, planes, planes, dtype)}
+                blk["bn2"] = layers.bn_params(planes, dtype)
+            if stride != 1 or inplanes != planes * exp:
+                blk["downsample"] = {
+                    "conv": {"w": layers.he_conv(next(keys), 1, 1, inplanes, planes * exp, dtype)},
+                    "bn": layers.bn_params(planes * exp, dtype),
+                }
+            stage.append(blk)
+            inplanes = planes * exp
+        params[f"layer{li + 1}"] = stage
+
+    k = next(keys)
+    params["fc"] = {
+        "w": jax.random.normal(k, (512 * exp, num_classes), dtype) * 0.01,
+        "b": jnp.zeros((num_classes,), dtype),
+    }
+    return params

@@ -1,0 +1,210 @@
+"""Gather-based resampling ops (JAX, NHWC).
+
+All projection resampling in the framework is expressed as *precomputed
+float coordinate maps* (built once on the host, see cp360_tpu/geometry)
+consumed by the bilinear gather kernels here.  Under jit the coordinate
+arrays are constants, so XLA folds the floor/weight computation and each
+resample compiles to 4 gathers + a weighted sum — no scatter, no masks in
+the hot path, fully differentiable (gather transposes to scatter-add).
+
+Semantics notes (parity with the reference):
+
+- ``cube_to_equi`` reproduces the reference's differentiable GPU path
+  (utils/cube_to_equi.py:37-66): torch-0.3 ``grid_sample`` with its implicit
+  align_corners=True normalization — i.e. plain bilinear sampling at the
+  precomputed [0, w-1] float coords.
+- ``equi_to_cube`` reproduces ``cv2.remap(..., INTER_LINEAR)``
+  (utils/equi_to_cube.py:112-129) up to cv2's 1/32-pixel fixed-point
+  coordinate quantization.
+- ``grid_sample`` / ``resize_bilinear`` reproduce torch-0.3
+  ``nn.functional.grid_sample`` / ``upsample(mode='bilinear')`` — both
+  align_corners=True in that era — used by the training losses
+  (temporal_model/train_temporal.py:132-143).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cp360_tpu.geometry import equi_cube
+
+
+def _bilinear_gather(flat_src: jax.Array, xs: jax.Array, ys: jax.Array,
+                     src_h: int, src_w: int, base: jax.Array | int = 0):
+    """Bilinear sample ``flat_src`` [..., src_h*src_w(+), C] at float coords.
+
+    xs/ys: float arrays of identical shape S (the output pixel grid).
+    base: optional per-output-pixel offset added to the flat index (used to
+      select a cube face).  Corner indices are clamped to the valid range;
+      out-of-range corners keep their (zero or border) weight semantics of
+      the callers, which pre-clamp coordinates.
+
+    Returns [..., *S, C].
+    """
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0).astype(flat_src.dtype)
+    fy = (ys - y0).astype(flat_src.dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = jnp.clip(x0 + 1, 0, src_w - 1)
+    y1 = jnp.clip(y0 + 1, 0, src_h - 1)
+    x0 = jnp.clip(x0, 0, src_w - 1)
+    y0 = jnp.clip(y0, 0, src_h - 1)
+
+    i00 = base + y0 * src_w + x0
+    i01 = base + y0 * src_w + x1
+    i10 = base + y1 * src_w + x0
+    i11 = base + y1 * src_w + x1
+
+    def take(i):
+        return jnp.take(flat_src, i.reshape(-1), axis=-2)
+
+    s = xs.shape
+    g00, g01, g10, g11 = take(i00), take(i01), take(i10), take(i11)
+    w00 = ((1 - fx) * (1 - fy)).reshape(-1, 1)
+    w01 = (fx * (1 - fy)).reshape(-1, 1)
+    w10 = ((1 - fx) * fy).reshape(-1, 1)
+    w11 = (fx * fy).reshape(-1, 1)
+    out = g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
+    return out.reshape(*flat_src.shape[:-2], *s, flat_src.shape[-1])
+
+
+@partial(jax.jit, static_argnames=("face_w",))
+def equi_to_cube(equi: jax.Array, face_w: int) -> jax.Array:
+    """Equirectangular image(s) -> 6 cube faces, NHWC.
+
+    Args:
+      equi: [H, 2H, C] or [N, H, 2H, C].
+      face_w: output face resolution (e.g. 224).
+
+    Returns [6, face_w, face_w, C] (or [N, 6, ...]) in B D F L R T order.
+    """
+    squeeze = equi.ndim == 3
+    if squeeze:
+        equi = equi[None]
+    n, h, w, c = equi.shape
+    in_x, in_y = equi_cube.build_equi2cube_maps(face_w, h, w)
+    xs = jnp.asarray(in_x, dtype=jnp.float32)
+    ys = jnp.asarray(in_y, dtype=jnp.float32)
+    flat = equi.reshape(n, h * w, c)
+    out = _bilinear_gather(flat, xs, ys, h, w)  # [N, 6, fw, fw, C]
+    return out[0] if squeeze else out
+
+
+@partial(jax.jit, static_argnames=())
+def cube_to_equi(faces: jax.Array) -> jax.Array:
+    """6 cube faces -> equirectangular, NHWC.
+
+    Args:
+      faces: [6, w, w, C] or [N, 6, w, w, C] in B D F L R T order.
+
+    Returns [2w, 4w, C] (or [N, 2w, 4w, C]).
+
+    Matches the reference's differentiable path (utils/cube_to_equi.py:37-66):
+    bilinear at precomputed in-face coords, face chosen by the precomputed
+    face map.  Differentiable — it sits on the training gradient path.
+    """
+    squeeze = faces.ndim == 4
+    if squeeze:
+        faces = faces[None]
+    n, six, h, w, c = faces.shape
+    assert six == 6 and h == w, f"expected [N,6,w,w,C], got {faces.shape}"
+    coords, face_map = equi_cube.build_cube2equi_map(w)
+    xs = jnp.asarray(coords[..., 0], dtype=jnp.float32)
+    ys = jnp.asarray(coords[..., 1], dtype=jnp.float32)
+    base = jnp.asarray(face_map * (h * w), dtype=jnp.int32)
+    flat = faces.reshape(n, 6 * h * w, c)
+    out = _bilinear_gather(flat, xs, ys, h, w, base=base)  # [N, 2w, 4w, C]
+    return out[0] if squeeze else out
+
+
+def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
+    """torch-0.3 ``nn.functional.grid_sample`` semantics, NHWC.
+
+    Args:
+      x: [N, H, W, C].
+      grid: [N, Hg, Wg, 2] with (x, y) in [-1, 1]; align_corners=True
+        normalization (the only behaviour torch 0.3 had); out-of-range
+        samples contribute zeros (zero padding_mode).
+
+    Used by flow warping in the training losses
+    (temporal_model/train_temporal.py:143) and as the general sampler.
+    """
+    n, h, w, c = x.shape
+    gx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = (gx - x0).astype(x.dtype)
+    fy = (gy - y0).astype(x.dtype)
+
+    def corner(yi, xi, wgt):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = yc * w + xc  # [N, Hg, Wg]
+        flat = x.reshape(n, h * w, c)
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(n, -1, 1).astype(jnp.int32), axis=1
+        ).reshape(n, *idx.shape[1:], c)
+        return vals * (wgt * inb.astype(x.dtype))[..., None]
+
+    out = (
+        corner(y0, x0, (1 - fx) * (1 - fy))
+        + corner(y0, x0 + 1, fx * (1 - fy))
+        + corner(y0 + 1, x0, (1 - fx) * fy)
+        + corner(y0 + 1, x0 + 1, fx * fy)
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """torch-0.3 ``upsample(mode='bilinear')`` (align_corners=True), NHWC.
+
+    Args:
+      x: [N, H, W, C] -> [N, out_h, out_w, C].
+
+    The training losses upsample 14x28 predictions to flow resolution with
+    this op (temporal_model/train_temporal.py:132-135).
+    """
+    n, h, w, c = x.shape
+    ys = jnp.linspace(0.0, h - 1.0, out_h)
+    xs = jnp.linspace(0.0, w - 1.0, out_w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    flat = x.reshape(n, h * w, c)
+    return _bilinear_gather(flat, gx, gy, h, w)
+
+
+def remap_bilinear_numpy(img: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Host/NumPy bilinear remap — oracle & host-pipeline fallback.
+
+    img: [H, W] or [H, W, C]; xs/ys: float maps of the output grid.
+    Border: clamped (the geometry maps pre-clamp coords to the interior,
+    matching cv2.remap's effective behaviour for these maps).
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    h, w, _ = img.shape
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = (xs - x0)[..., None]
+    fy = (ys - y0)[..., None]
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(x0, 0, w - 1)
+    y0 = np.clip(y0, 0, h - 1)
+    out = (
+        img[y0, x0] * (1 - fx) * (1 - fy)
+        + img[y0, x1] * fx * (1 - fy)
+        + img[y1, x0] * (1 - fx) * fy
+        + img[y1, x1] * fx * fy
+    )
+    return out[..., 0] if squeeze else out
