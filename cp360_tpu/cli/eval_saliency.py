@@ -1,0 +1,98 @@
+"""Standalone saliency evaluation CLI.
+
+Reference analogue: utils/eval_saliency.py:214-317 — an offline comparison
+of saved saliency maps against GT fixation maps.  The reference's main() is
+partially broken (undefined `CC`, possibly-unbound `camidx`,
+eval_saliency.py:282,296); this one works: it scores either stage-2
+prediction dirs (<root>/<vid>/NNNNN.npy) or stage-1 CAM cube dirs
+(<root>/<vid>/cube_feat/NNNNNN.npy, projected to equi + channel-maxed).
+
+    python -m cp360_tpu.cli.eval_saliency --input output/temporal \
+        --gt /path/Wild360_GT [--seq-len 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from cp360_tpu.data.dataset import builtin_split
+from cp360_tpu.metrics import saliency as M
+
+
+def _load_prediction(path: str) -> np.ndarray:
+    arr = np.load(path)
+    if arr.ndim == 2:
+        return arr
+    if arr.ndim == 4 and arr.shape[0] == 6:  # stage-1 CAM cube [6,C,h,w]
+        import jax.numpy as jnp
+
+        from cp360_tpu.ops.resample import cube_to_equi
+
+        equi = np.asarray(cube_to_equi(jnp.asarray(arr.transpose(0, 2, 3, 1))))
+        return equi.max(-1)
+    raise ValueError(f"unrecognized prediction shape {arr.shape} in {path}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", type=str, required=True, help="prediction root")
+    parser.add_argument("--gt", type=str, required=True, help="GT root (<vid>.mp4/NNNNN.npy)")
+    parser.add_argument("--split", type=str, default="test_25")
+    parser.add_argument("--seed", type=int, default=None, help="metric RNG seed")
+    args, _ = parser.parse_known_args(argv)
+
+    rng = np.random.RandomState(args.seed) if args.seed is not None else None
+    totals = {"AUC": [], "AUCB": [], "CC": [], "SIM": []}
+    weights = []
+    for vid in builtin_split(args.split):
+        vdir = os.path.join(args.input, vid)
+        pred_dir = vdir if os.path.isdir(vdir) else None
+        if pred_dir is None:
+            continue
+        if os.path.isdir(os.path.join(vdir, "cube_feat")):
+            pred_dir = os.path.join(vdir, "cube_feat")
+        gt_dir = os.path.join(args.gt, vid + ".mp4")
+        if not os.path.isdir(gt_dir):
+            continue
+
+        scores = {k: [] for k in totals}
+        for fname in sorted(os.listdir(pred_dir)):
+            if not fname.endswith(".npy"):
+                continue
+            gt_path = os.path.join(gt_dir, f"{int(fname.split('.')[0]):05}.npy")
+            if not os.path.exists(gt_path):
+                continue
+            pred = _load_prediction(os.path.join(pred_dir, fname))
+            gt = np.load(gt_path)
+            scores["AUC"].append(M.auc_judd(pred, gt, rng=rng))
+            scores["AUCB"].append(M.auc_borji(pred, gt, rng=rng))
+            scores["CC"].append(M.corr_coeff(pred, gt))
+            scores["SIM"].append(M.similarity(pred, gt))
+        if not scores["AUC"]:
+            continue
+        n = len(scores["AUC"])
+        print(
+            f"[{vid}] n={n} AUC={np.mean(scores['AUC']):.4f} "
+            f"AUCB={np.mean(scores['AUCB']):.4f} CC={np.mean(scores['CC']):.4f} "
+            f"SIM={np.mean(scores['SIM']):.4f}"
+        )
+        for k in totals:
+            totals[k].append(np.mean(scores[k]))
+        weights.append(n)
+
+    if weights:
+        w = np.asarray(weights, dtype=np.float64)
+        w = w / w.sum()
+        agg = {k: float(np.sum(np.asarray(v) * w)) for k, v in totals.items()}
+        print(
+            "total result: AUC={AUC:.4f} AUCB={AUCB:.4f} CC={CC:.4f} SIM={SIM:.4f}".format(**agg)
+        )
+    else:
+        print("no videos scored")
+
+
+if __name__ == "__main__":
+    main()

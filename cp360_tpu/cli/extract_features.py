@@ -1,0 +1,87 @@
+"""Stage-1 CLI: extract CAM cubes / flow / images from Wild-360 videos.
+
+Reference driver: static_model/dataset_feat_extractor.py (flags -oi/-of/-om,
+--out, --mode; video selection from config test_mode/train_mode + the split
+lists).  Usage:
+
+    python -m cp360_tpu.cli.extract_features --config config.yaml \
+        --out static -oi -of -om [--weights resnet50.npz] [--max-frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from cp360_tpu.config import add_config_overrides, config_from_args
+from cp360_tpu.data.dataset import builtin_split
+from cp360_tpu.pipelines.extract import extract_video
+
+
+def load_params(weights: str | None, arch: str):
+    if weights:
+        if weights.endswith(".pth"):
+            from cp360_tpu.compat.torch_weights import (
+                convert_resnet_state_dict,
+                load_torch_state_dict,
+            )
+
+            return convert_resnet_state_dict(load_torch_state_dict(weights), arch)
+        from cp360_tpu.compat.torch_weights import load_npz
+
+        return load_npz(weights)
+    from cp360_tpu.models.resnet import init_resnet_params
+
+    print("WARNING: no --weights given; using random init (demo only)")
+    return init_resnet_params(jax.random.PRNGKey(0), arch)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", type=str, default="static", help="output dir name")
+    parser.add_argument("--mode", type=str, default="resnet50", help="backbone arch")
+    parser.add_argument("-oi", "--output_img", action="store_true")
+    parser.add_argument("-of", "--output_feature", action="store_true")
+    parser.add_argument("-om", "--output_motion", action="store_true")
+    parser.add_argument("--weights", type=str, default=None, help=".npz or .pth backbone weights")
+    parser.add_argument("--max-frames", type=int, default=None)
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(argv)
+
+    cfg = config_from_args(args)
+    for k, v in sorted(vars(cfg).items()) if hasattr(cfg, "__dict__") else []:
+        print(f"\t{k} : {v}")
+
+    params = load_params(args.weights, args.mode)
+    out_path = os.path.join(cfg.output_path, f"{args.out}_{args.mode}")
+    os.makedirs(out_path, exist_ok=True)
+
+    jobs = []
+    if cfg.test_mode:
+        jobs += [("test", v) for v in builtin_split("test_25")]
+    if cfg.train_mode:
+        jobs += [("train", v) for v in builtin_split("train_60")]
+
+    for split, vid in jobs:
+        vid_file = os.path.join(cfg.data_vid_path, split, vid + ".mp4")
+        if not os.path.exists(vid_file):
+            print(f"skip {vid}: {vid_file} not found")
+            continue
+        print(f"Now process {vid}!")
+        extract_video(
+            params,
+            cfg,
+            vid_file,
+            os.path.join(out_path, vid),
+            output_img=args.output_img,
+            output_feature=args.output_feature,
+            output_motion=args.output_motion,
+            arch=args.mode,
+            max_frames=args.max_frames,
+        )
+
+
+if __name__ == "__main__":
+    main()

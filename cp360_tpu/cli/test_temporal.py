@@ -1,0 +1,104 @@
+"""Stage-2 CLI: temporal inference + evaluation against Wild-360 GT.
+
+Reference driver: temporal_model/test_temporal.py (flags --model, --dir,
+--overlay; writes {dir}_result.txt with the aggregate).  Usage:
+
+    python -m cp360_tpu.cli.test_temporal --model CLSTM.npz \
+        --dir output/static_resnet50 [--overlay] [--config config.yaml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from cp360_tpu.config import add_config_overrides, config_from_args
+from cp360_tpu.data.dataset import builtin_split
+from cp360_tpu.pipelines.temporal import aggregate, evaluate_video, infer_video, video_windows
+
+
+def load_clstm(path: str):
+    if path.endswith(".pth"):
+        from cp360_tpu.compat.torch_weights import (
+            convert_clstm_state_dict,
+            load_torch_state_dict,
+        )
+
+        return convert_clstm_state_dict(load_torch_state_dict(path))
+    from cp360_tpu.compat.torch_weights import load_npz
+
+    return load_npz(path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--model", type=str, required=True, help="CLSTM .npz or .pth")
+    parser.add_argument("--dir", type=str, required=True, help="stage-1 artifact root")
+    parser.add_argument("--overlay", action="store_true", help="write overlay jpgs")
+    parser.add_argument("--batch-windows", type=int, default=64)
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(argv)
+    cfg = config_from_args(args)
+
+    model_path = args.model
+    if not os.path.exists(model_path):
+        model_path = os.path.join(cfg.checkpoint_path, args.model)
+    params = load_clstm(model_path)
+
+    vids = [v for v in builtin_split("test_25")
+            if os.path.isdir(os.path.join(args.dir, v, "cube_feat"))]
+    outdir = os.path.join(cfg.output_path, "temporal")
+    os.makedirs(outdir, exist_ok=True)
+
+    per_video, frame_counts = {}, {}
+    for i, vid in enumerate(vids):
+        print(f"Extracting video {vid}[{i + 1}/{len(vids)}]")
+        feat_dir = os.path.join(args.dir, vid, "cube_feat")
+        preds = infer_video(
+            params, feat_dir, cfg.seq_len,
+            batch_windows=args.batch_windows, use_cube_pad=cfg.cube_pad,
+        )
+
+        vdir = os.path.join(outdir, vid)
+        os.makedirs(vdir, exist_ok=True)
+        for idx, p in preds.items():
+            np.save(os.path.join(vdir, f"{idx + cfg.seq_len - 1:05}.npy"), p)
+
+        if args.overlay:
+            from PIL import Image
+
+            from cp360_tpu.imaging.overlay import overlay
+
+            odir = os.path.join(vdir, "overlay")
+            os.makedirs(odir, exist_ok=True)
+            for idx, p in preds.items():
+                img_path = os.path.join(
+                    args.dir, vid, "img", f"{idx + cfg.seq_len - 1:06}.jpg"
+                )
+                if os.path.exists(img_path):
+                    overlay(Image.open(img_path), p**2).save(
+                        os.path.join(odir, f"{idx + cfg.seq_len - 1:06}.jpg")
+                    )
+
+        gt_dir = os.path.join(cfg.label_path, vid + ".mp4")
+        if os.path.isdir(gt_dir):
+            res = evaluate_video(preds, gt_dir, cfg.seq_len)
+            per_video[vid] = res
+            frame_counts[vid] = len(video_windows(feat_dir))
+            for key in ("AUCB", "AUC", "CC"):
+                print(f"[{vid}]\t{key}:{np.mean(res[key])}")
+
+    if per_video:
+        agg = aggregate(per_video, frame_counts)
+        print(
+            "========== AUC: {AUC}\tCC: {CC}\tAUCB: {AUCB}\tSIM: {SIM}".format(**agg)
+        )
+        # Reference-compatible result file (test_temporal.py:186-187).
+        with open(f"{args.dir.split('/')[-1]}_result.txt", "w") as f:
+            print(f"total result:{agg['CC']}, {agg['AUC']}, {agg['AUCB']}", file=f)
+
+
+if __name__ == "__main__":
+    main()

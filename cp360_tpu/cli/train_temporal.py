@@ -1,0 +1,65 @@
+"""Stage-2 CLI: weakly-supervised ConvLSTM training over stage-1 artifacts.
+
+Reference driver: temporal_model/train_temporal.py (flags --input/--motion +
+loss-weight overrides --sml/--tmpl/--mml/--lr — which in the reference would
+throw on an immutable namedtuple; here they work).  Usage:
+
+    python -m cp360_tpu.cli.train_temporal --input output/static_resnet50 \
+        [--motion PATH] [--resume] [--data-parallel N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from cp360_tpu.compat.torch_weights import load_npz
+from cp360_tpu.config import add_config_overrides, config_from_args
+from cp360_tpu.data.dataset import PrefetchLoader, WindowDataset, builtin_split
+from cp360_tpu.models.clstm import init_clstm_params
+from cp360_tpu.train.loop import checkpoint_dir, latest_checkpoint, train
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", type=str, required=True, help="stage-1 artifact root")
+    parser.add_argument("--motion", type=str, default=None, help="motion root (default: --input)")
+    parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
+    parser.add_argument("--data-parallel", type=int, default=None,
+                        help="shard batches over N devices")
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(argv)
+    cfg = config_from_args(args)
+
+    ds = WindowDataset(
+        args.input, args.motion, builtin_split("train_60"), cfg.seq_len
+    )
+    if len(ds) == 0:
+        raise SystemExit(f"no training windows found under {args.input}")
+    print(f"{len(ds)} training windows")
+    loader = PrefetchLoader(
+        ds, batch_size=cfg.batch_size, shuffle=True, num_threads=cfg.processes
+    )
+
+    mesh = None
+    if args.data_parallel:
+        from cp360_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+
+    params = None
+    if args.resume:
+        ck = latest_checkpoint(checkpoint_dir(cfg))
+        if ck:
+            print(f"resuming from {ck}")
+            params = load_npz(ck)
+    if params is None:
+        params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
+
+    train(cfg, loader, params=params, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

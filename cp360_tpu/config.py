@@ -1,0 +1,110 @@
+"""Typed configuration with the reference's exact YAML schema.
+
+Same flat key set as the reference config.yaml:1-41 so existing configs work
+unchanged, but parsed into a frozen dataclass (the reference stuffs the dict
+into a namedtuple and its CLI overrides on it would throw,
+temporal_model/train_temporal.py:211-220 — here overrides work).
+
+Note on ``equi_h``/``equi_w``: the reference passes (equi_h, equi_w) as a
+PIL (width, height) pair, so with the shipped values the actual frame is
+960 rows x 1920 cols (static_model/dataset_feat_extractor.py:129-130).  We
+keep the key names and that interpretation; use the ``frame_hw`` property
+for the unambiguous (rows, cols).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import yaml
+
+
+@dataclass(frozen=True)
+class Config:
+    # Paths (config.yaml:1-5)
+    data_vid_path: str = "./dataset"
+    label_path: str = "./Wild360_GT"
+    output_path: str = "./output"
+    checkpoint_path: str = "./checkpoint"
+
+    # General (config.yaml:7-12)
+    test_mode: bool = True
+    train_mode: bool = False
+    cube_pad: bool = True
+    use_gpu: bool = True  # kept for schema compat; means "use accelerator"
+    opt_flow: bool = True
+
+    # Projection (config.yaml:14-18)
+    equi_h: int = 1920  # PIL width (columns) — see module docstring
+    equi_w: int = 960  # PIL height (rows)
+    cube_dim: int = 224
+    flow_h: int = 480
+
+    # ConvLSTM (config.yaml:20-22)
+    hidden_size: int = 1000
+    input_size: int = 1000
+
+    # Training (config.yaml:24-29)
+    epochs: int = 5
+    save_freq: int = 1000
+    summary_freq: int = 10
+    lr: float = 1e-6
+
+    # Dataloader (config.yaml:31-35)
+    batch_size: int = 1
+    seq_len: int = 5
+    processes: int = 4
+
+    # Losses (config.yaml:37-41)
+    l_s: float = 0.7
+    l_t: float = 1.0
+    l_m: float = 0.01
+    mm_th: float = 0.15
+
+    # --- TPU-native extensions (absent from the reference) ---------------
+    compute_dtype: str = "bfloat16"  # conv compute precision on device
+    mesh_data: int = 1  # data-parallel axis size
+    mesh_model: int = 1  # tensor-parallel axis size
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+    @property
+    def frame_hw(self):
+        """Unambiguous (rows, cols) of the working equirectangular frame."""
+        return (self.equi_w, self.equi_h)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(path: str = "config.yaml", **overrides) -> Config:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    known = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(raw) - known
+    if unknown:
+        raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+    raw.update({k: v for k, v in overrides.items() if v is not None})
+    return Config(**raw)
+
+
+def add_config_overrides(parser: argparse.ArgumentParser) -> None:
+    """The reference drivers' override flags (train_temporal.py:196-203)."""
+    parser.add_argument("--config", type=str, default=None, help="config.yaml path")
+    parser.add_argument("--sml", type=float, default=None, help="smooth (flow-warp) loss weight")
+    parser.add_argument("--tmpl", type=float, default=None, help="temporal loss weight")
+    parser.add_argument("--mml", type=float, default=None, help="motion-mask loss weight")
+    parser.add_argument("--lr", type=float, default=None, help="learning rate")
+
+
+def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml") -> Config:
+    cfg = load_config(args.config or default_path)
+    mapping = {"sml": "l_s", "tmpl": "l_t", "mml": "l_m", "lr": "lr"}
+    kw = {
+        dst: getattr(args, src)
+        for src, dst in mapping.items()
+        if getattr(args, src, None) is not None
+    }
+    return cfg.replace(**kw) if kw else cfg

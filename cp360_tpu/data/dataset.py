@@ -1,0 +1,170 @@
+"""Dataset over stage-1 artifacts + a threaded prefetch loader.
+
+Capability parity with the reference Sal360Dataset (data/dataset.py:13-83):
+windows of ``seq_len`` consecutive CAM cubes + optical flows drawn from
+``<root>/<vid>/cube_feat/*.npy`` and ``<root>/<vid>/motion/*.npy``, windows
+restricted to start frames with index < max_index - seq_len + 1
+(data/dataset.py:39).
+
+Deltas:
+- missing frame files raise a clear error instead of printing a warning and
+  returning a ragged sequence (the reference would crash later,
+  data/dataset.py:67-68);
+- batching + shuffling + background prefetch are built in (the reference
+  leans on torch DataLoader workers); batches are contiguous numpy arrays
+  ready for device_put, with the CAM cubes already transposed to NHWC.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def read_split(path: str) -> List[str]:
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip()]
+
+
+def builtin_split(name: str) -> List[str]:
+    """The Wild-360 video-id splits shipped with the reference
+    (data/test_25.txt, data/train_60.txt)."""
+    here = os.path.join(os.path.dirname(__file__), "splits")
+    return read_split(os.path.join(here, f"{name}.txt"))
+
+
+class WindowDataset:
+    """Indexable set of (video, start-frame) windows over stage-1 artifacts."""
+
+    def __init__(
+        self,
+        feat_root: str,
+        motion_root: Optional[str],
+        video_ids: Sequence[str],
+        seq_len: int,
+        require_motion: bool = True,
+    ):
+        self.feat_root = feat_root
+        self.motion_root = motion_root if motion_root is not None else feat_root
+        self.seq_len = seq_len
+        self.require_motion = require_motion
+        self.windows: List[Tuple[str, int]] = []  # (video, start frame index)
+
+        for vid in sorted(video_ids):
+            feat_dir = os.path.join(feat_root, vid, "cube_feat")
+            if not os.path.isdir(feat_dir):
+                continue
+            frames = sorted(
+                int(f.split(".")[0]) for f in os.listdir(feat_dir) if f.endswith(".npy")
+            )
+            if not frames:
+                continue
+            max_len = frames[-1]
+            for idx in frames:
+                if idx < (max_len - seq_len + 1):
+                    self.windows.append((vid, idx))
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def _frame_path(self, root: str, vid: str, sub: str, idx: int) -> str:
+        return os.path.join(root, vid, sub, f"{idx:06}.npy")
+
+    def __getitem__(self, i: int):
+        """Returns (seq [T,6,h,w,C] NHWC f32, flows [T,H,W,2] f32, vid, start)."""
+        vid, start = self.windows[i]
+        cams, flows = [], []
+        for off in range(self.seq_len):
+            fp = self._frame_path(self.feat_root, vid, "cube_feat", start + off)
+            if not os.path.exists(fp):
+                raise FileNotFoundError(f"missing CAM frame {fp}")
+            cam = np.load(fp)  # reference layout [6, C, h, w]
+            cams.append(cam.transpose(0, 2, 3, 1))
+            if self.require_motion:
+                mp = self._frame_path(self.motion_root, vid, "motion", start + off)
+                if not os.path.exists(mp):
+                    raise FileNotFoundError(f"missing flow frame {mp}")
+                flows.append(np.load(mp))
+        seq = np.stack(cams).astype(np.float32)
+        flow = np.stack(flows).astype(np.float32) if flows else np.zeros((self.seq_len, 0, 0, 2), np.float32)
+        return seq, flow, vid, start
+
+
+class PrefetchLoader:
+    """Shuffled, batched, background-prefetching iterator over a dataset.
+
+    Host-side double buffering so the device never waits on .npy reads
+    (the analogue of the reference's DataLoader(num_workers=4),
+    temporal_model/train_temporal.py:232-233).
+    """
+
+    def __init__(
+        self,
+        dataset: WindowDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def load_batch(idxs):
+            items = [self.ds[int(j)] for j in idxs]
+            seq = np.stack([it[0] for it in items])
+            flow = np.stack([it[1] for it in items])
+            return seq, flow
+
+        def worker():
+            try:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    q.put(load_batch(idxs))
+                q.put(None)
+            except Exception as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,145 @@
+"""End-to-end stage-2 pipeline + dataset/loader/training-step tests on
+synthetic artifacts (SURVEY.md §4 integration-test requirement)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp360_tpu.config import Config
+from cp360_tpu.data.dataset import PrefetchLoader, WindowDataset, builtin_split
+from cp360_tpu.models.clstm import clstm_rollout, init_clstm_params
+from cp360_tpu.pipelines.temporal import (
+    aggregate,
+    evaluate_video,
+    infer_video,
+    video_windows,
+    window_infer,
+)
+from cp360_tpu.train.loop import make_optimizer, make_train_step
+
+C = 8  # small CAM channel count for tests
+N_FRAMES = 12  # artifact indices 2..12
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("artifacts")
+    rng = np.random.RandomState(0)
+    for vid in ("vidA", "vidB"):
+        fd = root / vid / "cube_feat"
+        md = root / vid / "motion"
+        fd.mkdir(parents=True)
+        md.mkdir(parents=True)
+        for t in range(2, N_FRAMES + 1):
+            np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+            np.save(md / f"{t:06}.npy", rng.randn(16, 32, 2).astype(np.float32))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def clstm_params():
+    return init_clstm_params(jax.random.PRNGKey(0), C, C)
+
+
+def test_window_dataset_enumeration(artifacts):
+    ds = WindowDataset(artifacts, None, ["vidA", "vidB"], seq_len=5)
+    # reference rule (data/dataset.py:39): start indices < max_len - seq_len + 1
+    # = 12 - 5 + 1 = 8 -> starts 2..7 per video.
+    assert len(ds) == 2 * 6
+    seq, flow, vid, start = ds[0]
+    assert seq.shape == (5, 6, 7, 7, C)
+    assert flow.shape == (5, 16, 32, 2)
+    assert start == 2
+
+
+def test_window_dataset_missing_file(artifacts, tmp_path):
+    ds = WindowDataset(artifacts, str(tmp_path), ["vidA"], seq_len=5)
+    with pytest.raises(FileNotFoundError):
+        ds[0]
+
+
+def test_prefetch_loader(artifacts):
+    ds = WindowDataset(artifacts, None, ["vidA", "vidB"], seq_len=5)
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    seq, flow = batches[0]
+    assert seq.shape == (4, 5, 6, 7, 7, C)
+    assert flow.shape == (4, 5, 16, 32, 2)
+    # epoch 2 shuffles differently but yields the same count
+    assert len(list(loader)) == len(batches)
+
+
+def test_window_infer_batched_equals_single(artifacts, clstm_params):
+    feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
+    preds_batched = infer_video(clstm_params, feat_dir, 5, batch_windows=4)
+    preds_single = infer_video(clstm_params, feat_dir, 5, batch_windows=1)
+    assert sorted(preds_batched) == sorted(preds_single) == list(range(6))
+    for k in preds_batched:
+        np.testing.assert_allclose(preds_batched[k], preds_single[k], atol=1e-5)
+    assert preds_batched[0].shape == (14, 28)
+
+
+def test_window_infer_matches_protocol(artifacts, clstm_params):
+    # Re-derive window 0 by hand: joint min/max norm, h0=c0=frame0, 5 steps,
+    # channel max of equi-projected final hidden (test_temporal.py:57-85).
+    feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
+    frames = [
+        np.load(os.path.join(feat_dir, f"{i:06}.npy")).transpose(0, 2, 3, 1)
+        for i in range(2, 7)
+    ]
+    win = np.stack(frames)
+    mn, mx = win.min(), win.max()
+    norm = jnp.asarray((win - mn) / (mx - mn))
+    _, h, _ = clstm_rollout(clstm_params, norm, norm[0], norm[0])
+
+    from cp360_tpu.ops.resample import cube_to_equi
+
+    want = np.asarray(jnp.max(cube_to_equi(h[None])[0], axis=-1))
+    got = infer_video(clstm_params, feat_dir, 5, batch_windows=3)[0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_evaluate_and_aggregate(artifacts, clstm_params, tmp_path):
+    feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
+    preds = infer_video(clstm_params, feat_dir, 5, batch_windows=8)
+    gt_dir = tmp_path / "vidA.mp4"
+    gt_dir.mkdir()
+    yy, xx = np.mgrid[0:64, 0:128]
+    for idx in preds:
+        gt = np.exp(-((yy - 30) ** 2 + (xx - 60) ** 2) / 50.0).astype(np.float32)
+        np.save(gt_dir / f"{idx + 4:05}.npy", gt)
+    res = evaluate_video(preds, str(gt_dir), 5, rng=np.random.RandomState(0))
+    assert len(res["AUC"]) == len(preds)
+    agg = aggregate({"vidA": res}, {"vidA": len(video_windows(feat_dir))})
+    assert 0.0 <= agg["AUC"] <= 1.0 and 0.0 <= agg["SIM"] <= 1.0
+
+
+def test_train_step_runs_and_updates(artifacts):
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3)
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+
+    ds = WindowDataset(artifacts, None, ["vidA"], seq_len=5)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=False)
+    seq, flows = next(iter(loader))
+
+    w_before = np.asarray(params["gates"]["w"]).copy()
+    params, opt_state, metrics = step(params, opt_state, jnp.asarray(seq), jnp.asarray(flows))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(np.isfinite(float(metrics[k])) for k in ("smooth", "temporal", "mask"))
+    assert np.abs(np.asarray(params["gates"]["w"]) - w_before).max() > 0
+
+
+def test_builtin_splits_verbatim():
+    test_ids = builtin_split("test_25")
+    train_ids = builtin_split("train_60")
+    assert len(test_ids) == 25 and len(train_ids) == 60
+    # The reference's split files themselves share 2 ids
+    # (Q_BavaspcFc_2, rtPkaCbL8Kg_1) — preserved verbatim.
+    assert set(test_ids) & set(train_ids) == {"Q_BavaspcFc_2", "rtPkaCbL8Kg_1"}
