@@ -80,6 +80,7 @@ def main(argv=None):
             output_motion=args.output_motion,
             arch=args.mode,
             max_frames=args.max_frames,
+            batch_frames=cfg.extract_batch,
         )
 
 

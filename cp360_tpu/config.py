@@ -69,6 +69,10 @@ class Config:
     mesh_data: int = 1  # data-parallel axis size
     mesh_model: int = 1  # tensor-parallel axis size
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    host_cube_remap: bool = True  # sample cube faces on host (u8) — halves
+    #   host<->device bytes; false = exact all-device resample
+    feat_dtype: str = "float16"  # stage-1 CAM artifact dtype (float32 exact)
+    extract_batch: int = 8  # frames per fused device step in extraction
 
     @property
     def frame_hw(self):

@@ -34,7 +34,107 @@ from cp360_tpu.models.cam import cam_forward
 from cp360_tpu.ops.resample import cube_to_equi, equi_to_cube
 
 
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype"))
+def stage1_batch_faces(
+    params: dict,
+    faces_u8: jax.Array,
+    arch: str = "resnet50",
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.float16,
+):
+    """Fused device step from pre-sampled cube faces (the fast I/O path).
+
+    Args:
+      faces_u8: [N, 6, cd, cd, 3] uint8 cube faces (host cv2.remap of the
+        decoded frame — see :func:`host_equi_to_cube_u8`).
+
+    Returns (scores [N,6,h,w,1000] out_dtype, sal [N,2h,4w] f32).
+
+    Host->device traffic is 6*cd^2*3 bytes/frame (~0.9 MB at 224) instead of
+    the full equi frame (~5.5 MB); device->host CAM cubes return in
+    ``out_dtype`` (f16 by default — the convs upstream are bf16, so f16
+    artifact quantization is below compute noise).
+    """
+    cubes = faces_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    cubes = (cubes - mean) / std
+    scores, _ = cam_forward(
+        params, cubes, arch=arch, use_cube_pad=use_cube_pad,
+        compute_dtype=compute_dtype,
+    )
+    equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
+    sal = jnp.max(equi_scores, axis=-1) ** 2
+    return scores.astype(out_dtype), sal
+
+
+def host_equi_to_cube_u8(frame_u8: np.ndarray, cube_dim: int) -> np.ndarray:
+    """Host-side equi->cube sampling on the uint8 frame via cv2.remap.
+
+    Uses the same reference-parity sampling maps as the device resampler
+    (cp360_tpu.geometry.build_equi2cube_maps).  Output is uint8 (±0.5/255
+    quantization vs the reference's float remap — far below the bf16 conv
+    noise downstream).  Exists because frame bytes, not FLOPs, bound the
+    extraction pipeline; set ``host_cube_remap: false`` for the all-device
+    exact path.
+    """
+    import cv2
+
+    from cp360_tpu.geometry import build_equi2cube_maps
+
+    h, w = frame_u8.shape[:2]
+    in_x, in_y = build_equi2cube_maps(cube_dim, h, w)
+    faces = np.empty((6, cube_dim, cube_dim, 3), np.uint8)
+    for f in range(6):
+        faces[f] = cv2.remap(
+            frame_u8,
+            in_x[f].astype(np.float32),
+            in_y[f].astype(np.float32),
+            cv2.INTER_LINEAR,
+        )
+    return faces
+
+
 @partial(jax.jit, static_argnames=("cube_dim", "arch", "use_cube_pad", "compute_dtype"))
+def stage1_batch(
+    params: dict,
+    frames_u8: jax.Array,
+    cube_dim: int = 224,
+    arch: str = "resnet50",
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Fused device step for a BATCH of frames: uint8 equi -> (CAM, saliency).
+
+    Args:
+      frames_u8: [N, H, 2H, 3] uint8 RGB frames (the decoded+resized image
+        exactly as PIL produces it; /255 happens on device, bit-equal to the
+        reference's host normalization, dataset_feat_extractor.py:131,142).
+
+    Returns:
+      scores: [N, 6, h, w, 1000] CAM score cubes (f32, NHWC).
+      sal:    [N, 2h, 4w] equi saliency (channel max of projected scores,
+              squared — dataset_feat_extractor.py:173-176).
+
+    uint8 transfer + on-device normalization cuts host->device bytes 4x —
+    the PCIe/tunnel transfer, not FLOPs, bounds this pipeline.
+    """
+    equi01 = frames_u8.astype(jnp.float32) / 255.0
+    cubes = equi_to_cube(equi01, cube_dim)  # [N, 6, cd, cd, 3]
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    cubes = (cubes - mean) / std
+    scores, _ = cam_forward(
+        params, cubes, arch=arch, use_cube_pad=use_cube_pad,
+        compute_dtype=compute_dtype,
+    )
+    n, six, h, w, k = scores.shape
+    equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
+    sal = jnp.max(equi_scores, axis=-1) ** 2
+    return scores, sal
+
+
 def stage1_step(
     params: dict,
     equi01: jax.Array,
@@ -43,41 +143,35 @@ def stage1_step(
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
 ):
-    """One fused device step: equi frame in [0,1] -> (CAM cube, saliency).
+    """Single-frame convenience wrapper over :func:`stage1_batch`.
 
     Args:
-      equi01: [H, 2H, 3] RGB frame scaled to [0, 1].
-
-    Returns:
-      scores: [6, h, w, 1000] CAM score cube (f32, NHWC).
-      sal:    [2h, 4w] equi saliency (channel max of projected scores,
-              squared — dataset_feat_extractor.py:173-176).
+      equi01: [H, 2H, 3] float RGB in [0,1] (or uint8).
     """
-    cubes = equi_to_cube(equi01, cube_dim)  # [6, cd, cd, 3]
-    mean = jnp.asarray(IMAGENET_MEAN, equi01.dtype)
-    std = jnp.asarray(IMAGENET_STD, equi01.dtype)
-    cubes = (cubes - mean) / std
-    scores, _ = cam_forward(
-        params, cubes[None], arch=arch, use_cube_pad=use_cube_pad,
-        compute_dtype=compute_dtype,
+    if equi01.dtype != jnp.uint8:
+        frames = (jnp.clip(equi01, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    else:
+        frames = equi01
+    scores, sal = stage1_batch(
+        params, frames[None], cube_dim=cube_dim, arch=arch,
+        use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
     )
-    equi_scores = cube_to_equi(scores[0])  # [2h, 4w, 1000]
-    sal = jnp.max(equi_scores, axis=-1) ** 2
-    return scores[0], sal
+    return scores[0], sal[0]
 
 
-def _resize_frame_pil(frame_bgr: np.ndarray, wh) -> np.ndarray:
-    """BGR frame -> RGB-ish [0,1] float at (w, h), LANCZOS.
+def _resize_frame_pil(frame_bgr: np.ndarray, wh):
+    """BGR frame -> (uint8 array at (w, h), PIL image), LANCZOS.
 
     The reference wraps the raw cv2 (BGR) frame in PIL without channel
     conversion (dataset_feat_extractor.py:127-131) — so the CNN actually
-    sees B and R swapped.  Reproduced for artifact/metric parity.
+    sees B and R swapped.  Reproduced for artifact/metric parity.  The
+    uint8 array /255 on device equals the reference's host /255 bit-for-bit.
     """
     from PIL import Image
 
     img = Image.fromarray(frame_bgr).convert("RGB")
     img = img.resize(wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS))
-    return np.asarray(img, dtype=np.float32) / 255.0, img
+    return np.asarray(img, dtype=np.uint8), img
 
 
 def extract_video(
@@ -90,9 +184,15 @@ def extract_video(
     output_motion: bool = True,
     arch: str = "resnet50",
     max_frames: Optional[int] = None,
+    batch_frames: int = 8,
     log_fn=print,
 ) -> int:
-    """Process one video; returns the number of frames written."""
+    """Process one video; returns the number of frames written.
+
+    Frames are processed in device batches of ``batch_frames`` with a
+    one-deep pipeline: batch k's artifacts are written to disk while batch
+    k+1 computes on device (JAX dispatch is async).
+    """
     import cv2
 
     from cp360_tpu.flow.optical_flow import calc_optical_flow
@@ -113,28 +213,55 @@ def extract_video(
 
     t_start = time.time()
     written = 0
-    prev_bgr = None
-    pending = None  # (artifact index, device scores, device sal, pil image, flow)
+    pending = None  # (counts, device scores, device sal, pil images, flows)
 
     def flush(pending):
         nonlocal written
         if pending is None:
             return
-        cnt, scores_dev, sal_dev, pil_img, flow = pending
-        scores = np.asarray(scores_dev)  # [6, 7, 7, 1000] NHWC
-        sal = np.asarray(sal_dev)
-        if output_feature:
-            np.save(
-                os.path.join(feat_dir, f"{cnt:06}.npy"),
-                scores.transpose(0, 3, 1, 2),  # reference layout [6,1000,7,7]
-            )
-        if output_motion and flow is not None:
-            np.save(os.path.join(motion_dir, f"{cnt:06}.npy"), flow.astype(np.float32))
-        if output_img:
-            overlay(pil_img, sal).save(os.path.join(out_dir, f"{cnt:06}.jpg"))
-            pil_img.save(os.path.join(img_dir, f"{cnt:06}.jpg"))
-        written += 1
+        cnts, scores_dev, sal_dev, pil_imgs, flows = pending
+        scores = np.asarray(scores_dev)  # [B, 6, 7, 7, 1000] NHWC
+        sals = np.asarray(sal_dev)
+        for k, cnt in enumerate(cnts):
+            if output_feature:
+                np.save(
+                    os.path.join(feat_dir, f"{cnt:06}.npy"),
+                    scores[k].transpose(0, 3, 1, 2),  # reference [6,1000,7,7]
+                )
+            if output_motion and flows[k] is not None:
+                np.save(
+                    os.path.join(motion_dir, f"{cnt:06}.npy"),
+                    flows[k].astype(np.float32),
+                )
+            if output_img:
+                overlay(pil_imgs[k], sals[k]).save(os.path.join(out_dir, f"{cnt:06}.jpg"))
+                pil_imgs[k].save(os.path.join(img_dir, f"{cnt:06}.jpg"))
+            written += 1
 
+    out_dtype = jnp.float16 if cfg.feat_dtype == "float16" else jnp.float32
+
+    def submit(batch):
+        cnts = [b[0] for b in batch]
+        frames_u8 = np.stack([b[1] for b in batch])
+        if len(batch) < batch_frames:  # pad the tail to avoid a recompile
+            reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
+            frames_u8 = np.concatenate([frames_u8, reps], axis=0)
+        if cfg.host_cube_remap:
+            faces = np.stack([host_equi_to_cube_u8(f, cfg.cube_dim) for f in frames_u8])
+            scores_dev, sal_dev = stage1_batch_faces(
+                params, jnp.asarray(faces), arch=arch,
+                use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                out_dtype=out_dtype,
+            )
+        else:
+            scores_dev, sal_dev = stage1_batch(
+                params, jnp.asarray(frames_u8), cube_dim=cfg.cube_dim,
+                arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+            )
+        return (cnts, scores_dev, sal_dev, [b[2] for b in batch], [b[3] for b in batch])
+
+    batch = []
+    prev_bgr = None
     for i in range(total):
         ok, frame = cap.read()
         if not ok:
@@ -144,21 +271,23 @@ def extract_video(
             continue
 
         cnt = i + 1  # reference numbering starts at 000002
-        equi01, pil_img = _resize_frame_pil(prev_bgr, wh)
-        scores_dev, sal_dev = stage1_step(
-            params, jnp.asarray(equi01), cube_dim=cfg.cube_dim,
-            arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-        )
+        frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
         flow = None
         if cfg.opt_flow and output_motion:
             _, flow = calc_optical_flow(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
-
-        # One-deep pipeline: write the previous result while the device
-        # computes this frame (dispatch above is async).
-        flush(pending)
-        pending = (cnt, scores_dev, sal_dev, pil_img, flow)
+        batch.append((cnt, frame_u8, pil_img, flow))
         prev_bgr = frame
 
+        if len(batch) == batch_frames:
+            out = submit(batch)
+            flush(pending)
+            pending = out
+            batch = []
+
+    if batch:
+        out = submit(batch)
+        flush(pending)
+        pending = out
     flush(pending)
     cap.release()
     log_fn(f"{vid_path}: {written} frames in {time.time() - t_start:.1f}s")
