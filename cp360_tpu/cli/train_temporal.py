@@ -29,9 +29,15 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     parser.add_argument("--data-parallel", type=int, default=None,
                         help="shard batches over N devices")
+    parser.add_argument("--metrics-jsonl", type=str, default=None,
+                        help="write structured train metrics to this JSONL file")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the run")
     add_config_overrides(parser)
     args, _ = parser.parse_known_args(argv)
     cfg = config_from_args(args)
+    if args.profile_dir:
+        cfg = cfg.replace(profile_dir=args.profile_dir)
 
     ds = WindowDataset(
         args.input, args.motion, builtin_split("train_60"), cfg.seq_len
@@ -58,7 +64,7 @@ def main(argv=None):
     if params is None:
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
 
-    train(cfg, loader, params=params, mesh=mesh)
+    train(cfg, loader, params=params, mesh=mesh, metrics_jsonl=args.metrics_jsonl)
 
 
 if __name__ == "__main__":

@@ -137,12 +137,18 @@ def train(
     params: Optional[dict] = None,
     mesh=None,
     log_fn=print,
+    metrics_jsonl: Optional[str] = None,
 ) -> dict:
     """Epoch loop (reference train_temporal.py:33-193 / main():258-261).
 
     ``loader`` yields (seq [B,T,6,h,w,C] f32, flows [B,T,H,W,2] f32) numpy
-    batches; it is re-iterated each epoch.
+    batches; it is re-iterated each epoch.  Structured metrics go to
+    ``metrics_jsonl`` (one JSON record per summary) and jax.profiler traces
+    to ``cfg.profile_dir`` if set.
     """
+    from cp360_tpu.utils.logging import MetricLogger
+    from cp360_tpu.utils.profiling import maybe_profile
+
     if params is None:
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
     optimizer = make_optimizer(cfg)
@@ -151,34 +157,41 @@ def train(
 
     ckdir = checkpoint_dir(cfg)
     it = 0
-    for epoch in range(cfg.epochs):
-        running, batch_time = 0.0, 0.0
-        n_since = 0
-        for seq, flows in loader:
-            t0 = time.time()
-            if mesh is not None:
-                from cp360_tpu.parallel import mesh as pmesh
+    logger = MetricLogger(metrics_jsonl, echo=log_fn)
+    with logger, maybe_profile(cfg.profile_dir):
+        for epoch in range(cfg.epochs):
+            running, batch_time = 0.0, 0.0
+            n_since = 0
+            for seq, flows in loader:
+                t0 = time.time()
+                if mesh is not None:
+                    from cp360_tpu.parallel import mesh as pmesh
 
-                seq = pmesh.shard_batch(mesh, seq)
-                flows = pmesh.shard_batch(mesh, flows)
-            params, opt_state, metrics = step_fn(params, opt_state, seq, flows)
-            loss = float(metrics["loss"])
-            running += loss
-            batch_time += time.time() - t0
-            n_since += 1
-            it += 1
+                    seq = pmesh.shard_batch(mesh, seq)
+                    flows = pmesh.shard_batch(mesh, flows)
+                params, opt_state, metrics = step_fn(params, opt_state, seq, flows)
+                loss = float(metrics["loss"])
+                running += loss
+                batch_time += time.time() - t0
+                n_since += 1
+                it += 1
 
-            if it % cfg.summary_freq == 0:
-                log_fn(
-                    f"epoch {epoch} iter {it}: loss(avg) {running / n_since:.3f} "
-                    f"[sm {cfg.l_s * float(metrics['smooth']):.3f} "
-                    f"tmp {cfg.l_t * float(metrics['temporal']):.3f} "
-                    f"mask {cfg.l_m * float(metrics['mask']):.3f}] "
-                    f"batch_time(avg) {batch_time / n_since:.3f}s"
-                )
-                running, batch_time, n_since = 0.0, 0.0, 0
-            if it % cfg.save_freq == 0:
-                save_checkpoint(os.path.join(ckdir, checkpoint_name(epoch, it)), params)
+                if it % cfg.summary_freq == 0:
+                    logger.log(
+                        "train",
+                        epoch=epoch,
+                        iter=it,
+                        loss_avg=running / n_since,
+                        loss_smooth=cfg.l_s * float(metrics["smooth"]),
+                        loss_temporal=cfg.l_t * float(metrics["temporal"]),
+                        loss_mask=cfg.l_m * float(metrics["mask"]),
+                        batch_time_avg=batch_time / n_since,
+                    )
+                    running, batch_time, n_since = 0.0, 0.0, 0
+                if it % cfg.save_freq == 0:
+                    save_checkpoint(
+                        os.path.join(ckdir, checkpoint_name(epoch, it)), params
+                    )
 
-        save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
+            save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
     return params

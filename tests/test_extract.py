@@ -1,0 +1,98 @@
+"""Stage-1 extraction pipeline integration test on a tiny synthetic video."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from cp360_tpu.config import Config
+from cp360_tpu.models.resnet import init_resnet_params
+from cp360_tpu.pipelines.extract import (
+    extract_video,
+    host_equi_to_cube_u8,
+    stage1_batch,
+    stage1_batch_faces,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "synth.mp4")
+    rng = np.random.RandomState(0)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = (rng.rand(128, 256, 3) * 255).astype(np.uint8)
+    for t in range(7):
+        vw.write(np.roll(base, 3 * t, axis=1))
+    vw.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
+        compute_dtype="float32", feat_dtype="float32",
+        opt_flow=True, extract_batch=4,
+    )
+
+
+def test_extract_video_artifacts(video, cfg, tmp_path):
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    out = str(tmp_path / "vid0")
+    n = extract_video(
+        params, cfg, video, out, output_img=True, output_feature=True,
+        output_motion=True, arch="resnet18", batch_frames=4,
+    )
+    assert n == 6  # 7 frames -> indices 000002..000007 (reference numbering)
+    feats = sorted(os.listdir(os.path.join(out, "cube_feat")))
+    assert feats[0] == "000002.npy" and feats[-1] == "000007.npy"
+    cam = np.load(os.path.join(out, "cube_feat", "000002.npy"))
+    assert cam.shape == (6, 1000, 2, 2)  # 64px faces -> 2x2 layer4
+    assert cam.dtype == np.float32
+    flow = np.load(os.path.join(out, "motion", "000002.npy"))
+    assert flow.shape == (32, 64, 2)
+    assert os.path.exists(os.path.join(out, "img", "000002.jpg"))
+    assert os.path.exists(os.path.join(out, "000002.jpg"))  # overlay
+
+
+def test_fast_path_close_to_exact_path(cfg):
+    rng = np.random.RandomState(1)
+    frames = (rng.rand(2, 128, 256, 3) * 255).astype(np.uint8)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+
+    import jax.numpy as jnp
+
+    s_exact, sal_exact = stage1_batch(
+        params, jnp.asarray(frames), cube_dim=64, arch="resnet18",
+        compute_dtype=jnp.float32,
+    )
+    faces = np.stack([host_equi_to_cube_u8(f, 64) for f in frames])
+    s_fast, sal_fast = stage1_batch_faces(
+        params, jnp.asarray(faces), arch="resnet18",
+        compute_dtype=jnp.float32, out_dtype=jnp.float32,
+    )
+    # u8 quantization in the host remap bounds the divergence
+    a, b = np.asarray(s_exact), np.asarray(s_fast)
+    denom = np.abs(a).max()
+    assert np.abs(a - b).max() / denom < 0.05
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_feat_dtype_f16(video, tmp_path):
+    cfg16 = Config(
+        equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
+        compute_dtype="float32", feat_dtype="float16",
+        opt_flow=False, extract_batch=4,
+    )
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    out = str(tmp_path / "vid16")
+    extract_video(
+        params, cfg16, video, out, output_img=False, output_feature=True,
+        output_motion=False, arch="resnet18", batch_frames=4, max_frames=4,
+    )
+    cam = np.load(os.path.join(out, "cube_feat", "000002.npy"))
+    assert cam.dtype == np.float16
