@@ -93,6 +93,53 @@ class WindowDataset:
         flow = np.stack(flows).astype(np.float32) if flows else np.zeros((self.seq_len, 0, 0, 2), np.float32)
         return seq, flow, vid, start
 
+    def _probe_shapes(self):
+        """(cam shape+dtype, flow shape+dtype) from the first window's files."""
+        vid, start = self.windows[0]
+        cam = np.load(self._frame_path(self.feat_root, vid, "cube_feat", start), mmap_mode="r")
+        flow = None
+        if self.require_motion:
+            flow = np.load(self._frame_path(self.motion_root, vid, "motion", start), mmap_mode="r")
+        return (cam.shape, cam.dtype), (flow.shape, flow.dtype) if flow is not None else None
+
+    def get_batch(self, idxs, n_threads: int = 0):
+        """Batched window load via the native loader (GIL-free file reads).
+
+        Returns (seq [B,T,6,h,w,C] f32, flows [B,T,H,W,2] f32).  Falls back
+        to per-item numpy loading if the native library is unavailable.
+        """
+        try:
+            from cp360_tpu.native import load_npy_batch
+
+            (cam_shape, cam_dtype), flow_info = self._probe_shapes()
+        except Exception:
+            items = [self[int(i)] for i in idxs]
+            return (
+                np.stack([it[0] for it in items]),
+                np.stack([it[1] for it in items]),
+            )
+
+        b, t = len(idxs), self.seq_len
+        cam_paths, flow_paths = [], []
+        for i in idxs:
+            vid, start = self.windows[int(i)]
+            for off in range(t):
+                cam_paths.append(self._frame_path(self.feat_root, vid, "cube_feat", start + off))
+                if self.require_motion:
+                    flow_paths.append(self._frame_path(self.motion_root, vid, "motion", start + off))
+
+        cams = load_npy_batch(cam_paths, cam_shape, cam_dtype, n_threads)
+        cams = cams.reshape(b, t, *cam_shape)
+        # reference layout [6, C, h, w] -> NHWC
+        seq = np.ascontiguousarray(cams.transpose(0, 1, 2, 4, 5, 3), np.float32)
+        if self.require_motion:
+            (flow_shape, flow_dtype) = flow_info
+            flows = load_npy_batch(flow_paths, flow_shape, flow_dtype, n_threads)
+            flows = flows.reshape(b, t, *flow_shape).astype(np.float32)
+        else:
+            flows = np.zeros((b, t, 0, 0, 2), np.float32)
+        return seq, flows
+
 
 class PrefetchLoader:
     """Shuffled, batched, background-prefetching iterator over a dataset.
@@ -141,10 +188,7 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def load_batch(idxs):
-            items = [self.ds[int(j)] for j in idxs]
-            seq = np.stack([it[0] for it in items])
-            flow = np.stack([it[1] for it in items])
-            return seq, flow
+            return self.ds.get_batch(idxs, n_threads=self.num_threads)
 
         def worker():
             try:
