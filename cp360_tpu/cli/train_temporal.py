@@ -56,15 +56,21 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.data_parallel, n_model=1)
 
     params = None
+    resume_state = None
     if args.resume:
-        ck = latest_checkpoint(checkpoint_dir(cfg))
-        if ck:
-            print(f"resuming from {ck}")
-            params = load_npz(ck)
+        state_path = os.path.join(checkpoint_dir(cfg), "train_state_latest.npz")
+        if os.path.exists(state_path):
+            resume_state = state_path  # exact resume: params + optimizer + step
+        else:
+            ck = latest_checkpoint(checkpoint_dir(cfg))
+            if ck:
+                print(f"resuming weights from {ck} (no full train state found)")
+                params = load_npz(ck)
     if params is None:
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
 
-    train(cfg, loader, params=params, mesh=mesh, metrics_jsonl=args.metrics_jsonl)
+    train(cfg, loader, params=params, mesh=mesh,
+          metrics_jsonl=args.metrics_jsonl, resume_state=resume_state)
 
 
 if __name__ == "__main__":

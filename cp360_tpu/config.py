@@ -73,6 +73,7 @@ class Config:
     #   host<->device bytes; false = exact all-device resample
     feat_dtype: str = "float16"  # stage-1 CAM artifact dtype (float32 exact)
     extract_batch: int = 8  # frames per fused device step in extraction
+    train_remat: bool = False  # rematerialize ConvLSTM steps in backward
 
     @property
     def frame_hw(self):

@@ -81,7 +81,7 @@ def clstm_step(
     return hidden, cell
 
 
-@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype"))
+@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype", "remat"))
 def clstm_rollout(
     params: dict,
     seq: jax.Array,
@@ -89,6 +89,7 @@ def clstm_rollout(
     c0: jax.Array,
     use_cube_pad: bool = True,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scan the cell over time.
 
@@ -96,6 +97,9 @@ def clstm_rollout(
       seq: [T, B*6, H, W, Cin].
       h0, c0: [B*6, H, W, Ch] initial state (the protocol seeds both with
         the normalized first frame, temporal_model/test_temporal.py:70-73).
+      remat: rematerialize each step's intermediates in the backward pass
+        (trades FLOPs for HBM — enables much larger window batches when
+        training; a no-op for inference).
 
     Returns (hiddens [T, B*6, H, W, Ch], final hidden, final cell).
     """
@@ -104,5 +108,7 @@ def clstm_rollout(
         h, c = clstm_step(params, x, carry, use_cube_pad, compute_dtype)
         return (h, c), h
 
+    if remat:
+        step = jax.checkpoint(step)
     (h, c), hs = jax.lax.scan(step, (h0, c0), seq)
     return hs, h, c

@@ -159,6 +159,20 @@ def stage1_step(
     return scores[0], sal[0]
 
 
+def _artifacts_exist(cnt, feat_dir, motion_dir, img_dir, out_dir,
+                     need_feat, need_motion, need_img) -> bool:
+    if need_feat and not os.path.exists(os.path.join(feat_dir, f"{cnt:06}.npy")):
+        return False
+    if need_motion and not os.path.exists(os.path.join(motion_dir, f"{cnt:06}.npy")):
+        return False
+    if need_img and not (
+        os.path.exists(os.path.join(img_dir, f"{cnt:06}.jpg"))
+        and os.path.exists(os.path.join(out_dir, f"{cnt:06}.jpg"))
+    ):
+        return False
+    return need_feat or need_motion or need_img
+
+
 def _resize_frame_pil(frame_bgr: np.ndarray, wh):
     """BGR frame -> (uint8 array at (w, h), PIL image), LANCZOS.
 
@@ -185,6 +199,7 @@ def extract_video(
     arch: str = "resnet50",
     max_frames: Optional[int] = None,
     batch_frames: int = 8,
+    resume: bool = True,
     log_fn=print,
 ) -> int:
     """Process one video; returns the number of frames written.
@@ -192,6 +207,10 @@ def extract_video(
     Frames are processed in device batches of ``batch_frames`` with a
     one-deep pipeline: batch k's artifacts are written to disk while batch
     k+1 computes on device (JAX dispatch is async).
+
+    ``resume=True`` makes extraction restartable (SURVEY.md §5.3): frames
+    whose requested artifacts already exist on disk are skipped, so a
+    killed/crashed job continues where it stopped.
     """
     import cv2
 
@@ -271,6 +290,13 @@ def extract_video(
             continue
 
         cnt = i + 1  # reference numbering starts at 000002
+        if resume and _artifacts_exist(
+            cnt, feat_dir, motion_dir, img_dir, out_dir,
+            output_feature, output_motion and cfg.opt_flow, output_img,
+        ):
+            written += 1
+            prev_bgr = frame
+            continue
         frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
         flow = None
         if cfg.opt_flow and output_motion:

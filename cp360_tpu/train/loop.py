@@ -86,7 +86,9 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         x = jnp.moveaxis(seqn, 1, 0)  # [T, B, 6, h, w, C]
         x = x.reshape(t, b * 6, *x.shape[3:])
         h0 = c0 = x[0]
-        hiddens, _, _ = clstm_rollout(params, x, h0, c0, use_cube_pad=use_cp)
+        hiddens, _, _ = clstm_rollout(
+            params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat
+        )
 
         preds = predictions_from_hiddens(hiddens, b)  # [K+1, B, 2w, 4w]
         # Pairs use flows at window positions 1..K (train_temporal.py:104-124).
@@ -104,6 +106,49 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         return params, opt_state, metrics
 
     return step
+
+
+def save_train_state(path: str, params, opt_state, step: int, epoch: int) -> None:
+    """Full training-state checkpoint (params + Adam moments + counters).
+
+    The reference only ever saves model weights (train_temporal.py:182-185),
+    so resuming restarts the optimizer; here resume is exact.  Stored as a
+    flat .npz tree (same portable format as the weight checkpoints).
+    """
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    flat = {"step": np.asarray(step), "epoch": np.asarray(epoch)}
+    for key, tree in (("params", params), ("opt_state", opt_state)):
+        leaves, _ = jax.tree.flatten(jax.device_get(tree))
+        for i, leaf in enumerate(leaves):
+            flat[f"{key}/{i}"] = np.asarray(leaf)
+    np.savez_compressed(path, **flat)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Restore a full training-state checkpoint saved by save_train_state.
+
+    Leaves are restored positionally into the provided templates (shapes
+    are validated leaf-by-leaf).
+    """
+    with np.load(path) as f:
+        data = dict(f)
+
+    def restore(key, template):
+        leaves, treedef = jax.tree.flatten(template)
+        vals = []
+        for i, t in enumerate(leaves):
+            v = data[f"{key}/{i}"]
+            t_arr = np.asarray(t)
+            if v.shape != t_arr.shape:
+                raise ValueError(
+                    f"{key} leaf {i}: checkpoint shape {v.shape} != template {t_arr.shape}"
+                )
+            vals.append(np.asarray(v, t_arr.dtype))
+        return jax.tree.unflatten(treedef, vals)
+
+    params = restore("params", params_template)
+    opt_state = restore("opt_state", opt_state_template)
+    return params, opt_state, int(data["step"]), int(data["epoch"])
 
 
 def checkpoint_dir(cfg: Config) -> str:
@@ -127,7 +172,10 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     """Resume support (the reference's is dead code, train_temporal.py:244-249)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = sorted(f for f in os.listdir(ckpt_dir) if f.endswith(".npz"))
+    cands = sorted(
+        f for f in os.listdir(ckpt_dir)
+        if f.endswith(".npz") and not f.startswith("train_state")
+    )
     return os.path.join(ckpt_dir, cands[-1]) if cands else None
 
 
@@ -138,6 +186,7 @@ def train(
     mesh=None,
     log_fn=print,
     metrics_jsonl: Optional[str] = None,
+    resume_state: Optional[str] = None,
 ) -> dict:
     """Epoch loop (reference train_temporal.py:33-193 / main():258-261).
 
@@ -156,10 +205,15 @@ def train(
     step_fn = make_train_step(cfg, optimizer)
 
     ckdir = checkpoint_dir(cfg)
-    it = 0
+    it, start_epoch = 0, 0
+    if resume_state and os.path.exists(resume_state):
+        params, opt_state, it, start_epoch = load_train_state(
+            resume_state, params, opt_state
+        )
+        log_fn(f"resumed full train state from {resume_state} (iter {it}, epoch {start_epoch})")
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
     with logger, maybe_profile(cfg.profile_dir):
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             running, batch_time = 0.0, 0.0
             n_since = 0
             for seq, flows in loader:
@@ -192,6 +246,14 @@ def train(
                     save_checkpoint(
                         os.path.join(ckdir, checkpoint_name(epoch, it)), params
                     )
+                    save_train_state(
+                        os.path.join(ckdir, "train_state_latest.npz"),
+                        params, opt_state, it, epoch,
+                    )
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
+            save_train_state(
+                os.path.join(ckdir, "train_state_latest.npz"),
+                params, opt_state, it, epoch + 1,
+            )
     return params

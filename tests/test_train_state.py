@@ -1,0 +1,129 @@
+"""Full train-state checkpoint/resume, remat equivalence, resumable extraction."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp360_tpu.config import Config
+from cp360_tpu.models.clstm import clstm_rollout, init_clstm_params
+from cp360_tpu.train.loop import (
+    load_train_state,
+    make_optimizer,
+    make_train_step,
+    save_train_state,
+)
+
+C = 8
+
+
+def _batch(seed=0):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.rand(2, 5, 6, 7, 7, C), jnp.float32),
+        jnp.asarray(rng.randn(2, 5, 16, 32, 2), jnp.float32),
+    )
+
+
+def test_train_state_roundtrip_resumes_exactly(tmp_path):
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3)
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+
+    params0 = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+    seq1, fl1 = _batch(0)
+    seq2, fl2 = _batch(1)
+
+    # continuous run: two steps
+    p = jax.device_put(params0)
+    o = opt.init(p)
+    p, o, _ = step(p, o, seq1, fl1)
+    p_cont, o_cont, m_cont = step(p, o, seq2, fl2)
+
+    # interrupted run: one step, checkpoint, restore, second step
+    p = jax.device_put(params0)
+    o = opt.init(p)
+    p, o, _ = step(p, o, seq1, fl1)
+    ck = str(tmp_path / "state.npz")
+    save_train_state(ck, p, o, step=1, epoch=0)
+
+    p_t = jax.device_put(params0)
+    o_t = opt.init(p_t)
+    p_r, o_r, it, ep = load_train_state(ck, jax.device_get(p_t), jax.device_get(o_t))
+    assert (it, ep) == (1, 0)
+    p_res, o_res, m_res = step(jax.device_put(p_r), jax.device_put(o_r), seq2, fl2)
+
+    assert float(m_res["loss"]) == pytest.approx(float(m_cont["loss"]), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p_cont["gates"]["w"]), np.asarray(p_res["gates"]["w"]), atol=1e-7
+    )
+
+
+def test_train_state_shape_mismatch_rejected(tmp_path):
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16)
+    opt = make_optimizer(cfg)
+    p = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    o = opt.init(p)
+    ck = str(tmp_path / "state.npz")
+    save_train_state(ck, p, o, 0, 0)
+    p_big = init_clstm_params(jax.random.PRNGKey(0), C * 2, C * 2)
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(ck, jax.device_get(p_big), jax.device_get(opt.init(p_big)))
+
+
+def test_remat_rollout_matches():
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(5, 6, 7, 7, C), jnp.float32)
+
+    def loss(p, remat):
+        hs, h, c = clstm_rollout(p, x, x[0], x[0], remat=remat)
+        return jnp.sum(h**2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for k in g0:
+        np.testing.assert_allclose(
+            np.asarray(g0[k]["w"]), np.asarray(g1[k]["w"]), atol=1e-6
+        )
+
+
+def test_extract_resume_skips_existing(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from cp360_tpu.models.resnet import init_resnet_params
+    from cp360_tpu.pipelines.extract import extract_video
+
+    path = str(tmp_path / "v.mp4")
+    rng = np.random.RandomState(0)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = (rng.rand(128, 256, 3) * 255).astype(np.uint8)
+    for t in range(6):
+        vw.write(np.roll(base, 3 * t, axis=1))
+    vw.release()
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
+                 compute_dtype="float32", feat_dtype="float32",
+                 opt_flow=False, extract_batch=4)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    out = str(tmp_path / "out")
+    n1 = extract_video(params, cfg, path, out, output_img=False,
+                       output_feature=True, output_motion=False,
+                       arch="resnet18", batch_frames=4)
+    assert n1 == 5
+    # delete one artifact: resume should regenerate exactly that one
+    victim = os.path.join(out, "cube_feat", "000004.npy")
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, "cube_feat", f))
+        for f in os.listdir(os.path.join(out, "cube_feat"))
+    }
+    os.remove(victim)
+    n2 = extract_video(params, cfg, path, out, output_img=False,
+                       output_feature=True, output_motion=False,
+                       arch="resnet18", batch_frames=4)
+    assert n2 == 5
+    assert os.path.exists(victim)
+    for f, t in mtimes.items():
+        if f != "000004.npy":
+            assert os.path.getmtime(os.path.join(out, "cube_feat", f)) == t
