@@ -56,9 +56,12 @@ def main(argv=None):
     for i, vid in enumerate(vids):
         print(f"Extracting video {vid}[{i + 1}/{len(vids)}]")
         feat_dir = os.path.join(args.dir, vid, "cube_feat")
+        import jax.numpy as jnp
+
         preds = infer_video(
             params, feat_dir, cfg.seq_len,
             batch_windows=args.batch_windows, use_cube_pad=cfg.cube_pad,
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         )
 
         vdir = os.path.join(outdir, vid)

@@ -160,6 +160,32 @@ def load_npz(path: str):
         return unflatten_params(dict(f))
 
 
+def merge_pretrained_tolerant(init_params, converted, log_fn=print):
+    """Size-tolerant weight merge, in the spirit of the reference's loaders
+    (model/resnet_cubic.py:183-201, model/clstm.py:92-101): copy every leaf
+    from ``converted`` whose shape matches the counterpart in
+    ``init_params``; keep the init value (and log) otherwise.
+
+    Use when loading e.g. 1000-class zoo weights into a differently-headed
+    model.
+    """
+    flat_init = flatten_params(init_params)
+    flat_conv = flatten_params(converted)
+    out = dict(flat_init)
+    for key, val in flat_conv.items():
+        if key not in flat_init:
+            log_fn(f"skip unexpected key '{key}'")
+            continue
+        if flat_init[key].shape != val.shape:
+            log_fn(
+                f"skip key '{key}' due to inconsistent size "
+                f"{val.shape} vs {flat_init[key].shape}"
+            )
+            continue
+        out[key] = val
+    return unflatten_params(out)
+
+
 def convert_pth(path_in: str, path_out: str, kind: str, arch: str = "resnet50") -> None:
     """CLI-friendly one-shot converter: kind in {'resnet', 'clstm'}."""
     sd = load_torch_state_dict(path_in)

@@ -204,6 +204,21 @@ def cube_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("lrtd_pad",))
+def cube_pad_nchw(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
+    """Reference-call-shape convenience: [6N, C, H, W] -> padded [6N, C, ...].
+
+    Mirrors the reference module's API (model/cube_pad.py:28-42: batches are
+    6N face-major) for users porting call sites; new code should use the
+    NHWC :func:`cube_pad`.
+    """
+    n6, c, h, w = x.shape
+    assert n6 % 6 == 0, f"batch {n6} not divisible by 6"
+    nhwc = jnp.transpose(x.reshape(n6 // 6, 6, c, h, w), (0, 1, 3, 4, 2))
+    out = cube_pad(nhwc, lrtd_pad)
+    return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(n6, c, *out.shape[2:4])
+
+
+@partial(jax.jit, static_argnames=("lrtd_pad",))
 def zero_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     """Zero-padding ablation baseline (config key ``cube_pad: false``).
 

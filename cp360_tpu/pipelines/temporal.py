@@ -31,15 +31,22 @@ from cp360_tpu.models.clstm import clstm_rollout
 from cp360_tpu.ops.resample import cube_to_equi
 
 
-@partial(jax.jit, static_argnames=("use_cube_pad",))
-def window_infer(params: dict, windows: jax.Array, use_cube_pad: bool = True) -> jax.Array:
+@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype"))
+def window_infer(
+    params: dict,
+    windows: jax.Array,
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
     """Batched window inference.
 
     Args:
-      windows: [B, T, 6, h, w, C] raw (un-normalized) CAM cubes.
+      windows: [B, T, 6, h, w, C] raw (un-normalized) CAM cubes (any float
+        dtype; math runs in f32).
 
     Returns [B, 2h, 4w] equi saliency predictions (f32).
     """
+    windows = windows.astype(jnp.float32)
     b, t = windows.shape[0], windows.shape[1]
     mn = jnp.min(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
     mx = jnp.max(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
@@ -47,11 +54,44 @@ def window_infer(params: dict, windows: jax.Array, use_cube_pad: bool = True) ->
 
     x = jnp.moveaxis(norm, 1, 0).reshape(t, b * 6, *windows.shape[3:])
     h0 = c0 = x[0]
-    _, h_final, _ = clstm_rollout(params, x, h0, c0, use_cube_pad=use_cube_pad)
+    _, h_final, _ = clstm_rollout(
+        params, x, h0, c0, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+    )
 
     cubes = h_final.reshape(b, 6, *h_final.shape[1:])
     equi = cube_to_equi(cubes)  # [B, 2h, 4w, C]
     return jnp.max(equi, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("seq_len", "use_cube_pad", "compute_dtype"))
+def window_infer_from_frames(
+    params: dict,
+    frames: jax.Array,
+    positions: jax.Array,
+    seq_len: int = 5,
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Window inference with on-device window assembly.
+
+    Stride-1 windows share seq_len-1 of their frames; transferring windows
+    re-sends every frame ~seq_len times.  Here each frame crosses
+    host->device ONCE: windows are sliced out of the frame range by a
+    gather on device.
+
+    Args:
+      frames: [F, 6, h, w, C] consecutive CAM frames (any float dtype).
+      positions: [B] int32 window start offsets into ``frames``
+        (positions + seq_len <= F).
+
+    Returns [B, 2h, 4w] predictions, identical to :func:`window_infer` on
+    the equivalent stacked windows.
+    """
+    idx = positions[:, None] + jnp.arange(seq_len)[None, :]  # [B, T]
+    windows = frames[idx]  # gather -> [B, T, 6, h, w, C]
+    return window_infer(
+        params, windows, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+    )
 
 
 def video_windows(feat_dir: str) -> List[int]:
@@ -72,6 +112,7 @@ def infer_video(
     seq_len: int,
     batch_windows: int = 64,
     use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
 ) -> Dict[int, np.ndarray]:
     """All window predictions for one video.
 
@@ -79,33 +120,45 @@ def infer_video(
     reference's enumeration over the sorted frame list; the saved/eval frame
     id is idx + seq_len - 1 (test_temporal.py:86-88,101-102).
     """
-    frames = video_windows(feat_dir)
-    n = len(frames)
+    frame_ids = video_windows(feat_dir)
+    n = len(frame_ids)
     n_windows = max(0, n - seq_len)
     out: Dict[int, np.ndarray] = {}
     if n_windows == 0:
         return out
 
-    cache: Dict[int, np.ndarray] = {}
+    def load_frames(p0: int, p1: int) -> np.ndarray:
+        """Frames [p0, p1) in artifact dtype (f16 transfers at half cost),
+        NHWC, via the native batch loader when available."""
+        paths = [os.path.join(feat_dir, f"{frame_ids[p]:06}.npy") for p in range(p0, p1)]
+        first = np.load(paths[0], mmap_mode="r")
+        try:
+            from cp360_tpu.native import load_npy_batch
 
-    def load(pos: int) -> np.ndarray:
-        if pos not in cache:
-            arr = np.load(os.path.join(feat_dir, f"{frames[pos]:06}.npy"))
-            cache[pos] = arr.transpose(0, 2, 3, 1).astype(np.float32)  # -> NHWC
-        return cache[pos]
+            arr = load_npy_batch(paths, first.shape, first.dtype)
+        except Exception:
+            arr = np.stack([np.load(p) for p in paths])
+        return np.ascontiguousarray(arr.transpose(0, 1, 3, 4, 2))  # [F,6,h,w,C]
 
+    # fixed shapes for one compilation: F = batch + seq_len - 1 frames/batch
+    f_fixed = batch_windows + seq_len - 1
     for b0 in range(0, n_windows, batch_windows):
-        idxs = list(range(b0, min(b0 + batch_windows, n_windows)))
-        batch = np.stack(
-            [np.stack([load(i + t) for t in range(seq_len)]) for i in idxs]
+        b1 = min(b0 + batch_windows, n_windows)
+        frames = load_frames(b0, min(b0 + f_fixed, n))
+        valid = b1 - b0
+        if frames.shape[0] < f_fixed:  # pad tail batch to keep shapes static
+            reps = np.repeat(frames[-1:], f_fixed - frames.shape[0], axis=0)
+            frames = np.concatenate([frames, reps], axis=0)
+        positions = np.minimum(np.arange(batch_windows), valid - 1).astype(np.int32)
+        preds = np.asarray(
+            window_infer_from_frames(
+                params, jnp.asarray(frames), jnp.asarray(positions),
+                seq_len=seq_len, use_cube_pad=use_cube_pad,
+                compute_dtype=compute_dtype,
+            )
         )
-        # evict frames no longer needed
-        for pos in list(cache):
-            if pos < b0:
-                del cache[pos]
-        preds = np.asarray(window_infer(params, jnp.asarray(batch), use_cube_pad))
-        for k, i in enumerate(idxs):
-            out[i] = preds[k]
+        for k in range(valid):
+            out[b0 + k] = preds[k]
     return out
 
 

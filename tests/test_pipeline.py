@@ -75,8 +75,10 @@ def test_prefetch_loader(artifacts):
 
 def test_window_infer_batched_equals_single(artifacts, clstm_params):
     feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
-    preds_batched = infer_video(clstm_params, feat_dir, 5, batch_windows=4)
-    preds_single = infer_video(clstm_params, feat_dir, 5, batch_windows=1)
+    preds_batched = infer_video(clstm_params, feat_dir, 5, batch_windows=4,
+                                compute_dtype=jnp.float32)
+    preds_single = infer_video(clstm_params, feat_dir, 5, batch_windows=1,
+                               compute_dtype=jnp.float32)
     assert sorted(preds_batched) == sorted(preds_single) == list(range(6))
     for k in preds_batched:
         np.testing.assert_allclose(preds_batched[k], preds_single[k], atol=1e-5)
@@ -99,7 +101,8 @@ def test_window_infer_matches_protocol(artifacts, clstm_params):
     from cp360_tpu.ops.resample import cube_to_equi
 
     want = np.asarray(jnp.max(cube_to_equi(h[None])[0], axis=-1))
-    got = infer_video(clstm_params, feat_dir, 5, batch_windows=3)[0]
+    got = infer_video(clstm_params, feat_dir, 5, batch_windows=3,
+                      compute_dtype=jnp.float32)[0]
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
