@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--dir", type=str, required=True, help="stage-1 artifact root")
     parser.add_argument("--overlay", action="store_true", help="write overlay jpgs")
     parser.add_argument("--batch-windows", type=int, default=64)
+    parser.add_argument("--data-parallel", type=int, default=None,
+                        help="shard window batches over N devices")
     add_config_overrides(parser)
     args, _ = parser.parse_known_args(argv)
     cfg = config_from_args(args)
@@ -46,6 +48,12 @@ def main(argv=None):
     if not os.path.exists(model_path):
         model_path = os.path.join(cfg.checkpoint_path, args.model)
     params = load_clstm(model_path)
+
+    mesh = None
+    if args.data_parallel:
+        from cp360_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
 
     vids = [v for v in builtin_split("test_25")
             if os.path.isdir(os.path.join(args.dir, v, "cube_feat"))]
@@ -62,6 +70,7 @@ def main(argv=None):
             params, feat_dir, cfg.seq_len,
             batch_windows=args.batch_windows, use_cube_pad=cfg.cube_pad,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            mesh=mesh,
         )
 
         vdir = os.path.join(outdir, vid)

@@ -10,7 +10,10 @@ seamless sphere.  Faithfully kept reference behaviours:
 - Bottleneck: CubePad(1) before the 3x3 VALID conv only
   (model/resnet_cubic.py:92-93)
 - BasicBlock (resnet18/34) does NOT cube-pad — its 3x3 convs keep ordinary
-  zero padding=1, a documented reference quirk (model/resnet_cubic.py:33-62)
+  zero padding=1, a documented reference quirk (model/resnet_cubic.py:33-62).
+  (The reference's resnet18/34 constructors actually crash as shipped —
+  _make_layer passes cp= to BasicBlock which doesn't accept it,
+  model/resnet_cubic.py:36,155-159; ours work.)
 - ``cube_pad=False`` swaps in working zero padding (the reference's ZeroPad
   is commented out and would crash, model/cube_pad.py:219-254)
 

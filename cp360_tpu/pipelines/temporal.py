@@ -113,12 +113,17 @@ def infer_video(
     batch_windows: int = 64,
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
+    mesh=None,
 ) -> Dict[int, np.ndarray]:
     """All window predictions for one video.
 
     Returns {window position idx: prediction [2h,4w]} where idx matches the
     reference's enumeration over the sorted frame list; the saved/eval frame
     id is idx + seq_len - 1 (test_temporal.py:86-88,101-102).
+
+    With a ``mesh``, window positions shard along its data axis (frames are
+    replicated — they're shared by overlapping windows) so each chip runs
+    batch_windows / n_data windows.
     """
     frame_ids = video_windows(feat_dir)
     n = len(frame_ids)
@@ -150,9 +155,16 @@ def infer_video(
             reps = np.repeat(frames[-1:], f_fixed - frames.shape[0], axis=0)
             frames = np.concatenate([frames, reps], axis=0)
         positions = np.minimum(np.arange(batch_windows), valid - 1).astype(np.int32)
+        frames_dev = jnp.asarray(frames)
+        pos_dev = jnp.asarray(positions)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_dev = jax.device_put(frames_dev, NamedSharding(mesh, P()))
+            pos_dev = jax.device_put(pos_dev, NamedSharding(mesh, P("data")))
         preds = np.asarray(
             window_infer_from_frames(
-                params, jnp.asarray(frames), jnp.asarray(positions),
+                params, frames_dev, pos_dev,
                 seq_len=seq_len, use_cube_pad=use_cube_pad,
                 compute_dtype=compute_dtype,
             )

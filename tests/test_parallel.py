@@ -89,3 +89,23 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_infer_video_data_parallel_matches(tmp_path):
+    from cp360_tpu.pipelines.temporal import infer_video
+
+    rng = np.random.RandomState(0)
+    feat = tmp_path / "v" / "cube_feat"
+    feat.mkdir(parents=True)
+    for t in range(2, 16):
+        np.save(feat / f"{t:06}.npy", rng.rand(6, 8, 7, 7).astype(np.float32))
+
+    params = init_clstm_params(jax.random.PRNGKey(0), 8, 8)
+    want = infer_video(params, str(feat), 5, batch_windows=8,
+                       compute_dtype=jnp.float32)
+    mesh = make_mesh(n_data=8, n_model=1)
+    got = infer_video(params, str(feat), 5, batch_windows=8,
+                      compute_dtype=jnp.float32, mesh=mesh)
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5)

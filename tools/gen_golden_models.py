@@ -90,6 +90,13 @@ out["resnet50_feats"] = feats_box[0]
 out["resnet50_keys"] = np.array(list(manifest.keys()))
 out["resnet50_shapes"] = np.array([",".join(map(str, s)) for s in manifest.values()])
 
+# NOTE: no resnet18/34 goldens are possible — the reference's BasicBlock
+# constructors are broken as shipped (ResNet._make_layer passes cp= to
+# BasicBlock, which does not accept it: model/resnet_cubic.py:36,155-159),
+# so `resnet18()`/`resnet34()` raise TypeError before any forward runs.
+# Our resnet18/34 implement the documented architecture (BasicBlock without
+# cube padding) and are covered by shape/behaviour tests instead.
+
 # ---------------- ConvLSTM cell -------------------------------------------
 cell_net = clstm_mod.ConvLSTMCell(8, 8, cp=True)
 manifest = fill_state_dict(cell_net)
