@@ -32,9 +32,13 @@ def load_params(weights: str | None, arch: str):
         from cp360_tpu.compat.torch_weights import load_npz
 
         return load_npz(weights)
+    print("WARNING: no --weights given; using random init (demo only)")
+    if arch == "vgg16":
+        from cp360_tpu.models.vgg import init_vgg16_params
+
+        return init_vgg16_params(jax.random.PRNGKey(0))
     from cp360_tpu.models.resnet import init_resnet_params
 
-    print("WARNING: no --weights given; using random init (demo only)")
     return init_resnet_params(jax.random.PRNGKey(0), arch)
 
 

@@ -74,6 +74,7 @@ class Config:
     feat_dtype: str = "float16"  # stage-1 CAM artifact dtype (float32 exact)
     extract_batch: int = 8  # frames per fused device step in extraction
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
+    flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
 
     @property
     def frame_hw(self):

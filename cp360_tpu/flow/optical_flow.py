@@ -181,3 +181,44 @@ def _warp_gray(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     ny = 2.0 * (gy + v) / (h - 1) - 1.0
     grid = jnp.stack([nx, ny], axis=-1)[None]
     return grid_sample(img[None, :, :, None], grid)[0, :, :, 0]
+
+
+def calc_optical_flow_device(
+    prev_frame: np.ndarray, cur_frame: np.ndarray, res: Tuple[int, int] = (960, 480)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device-path drop-in for :func:`calc_optical_flow` (same signature).
+
+    Host does only the resize+grayscale (matching the reference's
+    preprocessing); the flow itself is the TPU Horn-Schunck solver.  Selected
+    with config ``flow_backend: horn_schunck``.
+    """
+    import jax.numpy as jnp_
+
+    if _HAVE_CV2:
+        prev = cv2.resize(prev_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
+        cur = cv2.resize(cur_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
+        prev = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY)
+        cur = cv2.cvtColor(cur, cv2.COLOR_BGR2GRAY)
+    else:  # plain luma fallback
+        from PIL import Image
+
+        prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
+        cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
+
+    flow = np.asarray(
+        horn_schunck_flow(
+            jnp_.asarray(prev, jnp_.float32) / 255.0,
+            jnp_.asarray(cur, jnp_.float32) / 255.0,
+        )
+    )
+    return _postprocess_magnitude(flow), flow
+
+
+def get_flow_fn(backend: str = "farneback"):
+    """Flow backend selector: 'farneback' (host cv2), 'horn_schunck' (TPU),
+    'deepflow' (host cv2-contrib, if present)."""
+    if backend == "horn_schunck":
+        return calc_optical_flow_device
+    if backend in ("farneback", "deepflow"):
+        return calc_optical_flow
+    raise ValueError(f"unknown flow backend {backend!r}")

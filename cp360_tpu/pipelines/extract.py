@@ -60,13 +60,24 @@ def stage1_batch_faces(
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     cubes = (cubes - mean) / std
-    scores, _ = cam_forward(
-        params, cubes, arch=arch, use_cube_pad=use_cube_pad,
-        compute_dtype=compute_dtype,
-    )
+    scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
     equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
     sal = jnp.max(equi_scores, axis=-1) ** 2
     return scores.astype(out_dtype), sal
+
+
+def _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype):
+    """CAM dispatch over backbone families (resnet*/vgg16)."""
+    if arch == "vgg16":
+        from cp360_tpu.models.vgg import vgg16_cam_forward
+
+        return vgg16_cam_forward(
+            params, cubes, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+        )
+    return cam_forward(
+        params, cubes, arch=arch, use_cube_pad=use_cube_pad,
+        compute_dtype=compute_dtype,
+    )
 
 
 def host_equi_to_cube_u8(frame_u8: np.ndarray, cube_dim: int) -> np.ndarray:
@@ -125,10 +136,7 @@ def stage1_batch(
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     cubes = (cubes - mean) / std
-    scores, _ = cam_forward(
-        params, cubes, arch=arch, use_cube_pad=use_cube_pad,
-        compute_dtype=compute_dtype,
-    )
+    scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
     n, six, h, w, k = scores.shape
     equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
     sal = jnp.max(equi_scores, axis=-1) ** 2
@@ -214,7 +222,9 @@ def extract_video(
     """
     import cv2
 
-    from cp360_tpu.flow.optical_flow import calc_optical_flow
+    from cp360_tpu.flow.optical_flow import get_flow_fn
+
+    flow_fn = get_flow_fn(cfg.flow_backend)
 
     feat_dir = os.path.join(out_dir, "cube_feat")
     motion_dir = os.path.join(out_dir, "motion")
@@ -300,7 +310,7 @@ def extract_video(
         frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
         flow = None
         if cfg.opt_flow and output_motion:
-            _, flow = calc_optical_flow(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
+            _, flow = flow_fn(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
         batch.append((cnt, frame_u8, pil_img, flow))
         prev_bgr = frame
 

@@ -53,3 +53,21 @@ def test_horn_schunck_recovers_translation():
     dy = np.median(flow[10:-10, 10:-10, 1])
     assert 1.0 < dx < 3.0, dx
     assert abs(dy) < 1.0, dy
+
+
+def test_device_flow_backend_wrapper():
+    import jax.numpy as jnp  # noqa: F401
+    from cp360_tpu.flow.optical_flow import calc_optical_flow_device, get_flow_fn
+
+    img = (_textured(64, 128, 3) * 255).clip(0, 255).astype(np.uint8)
+    img3 = np.stack([img] * 3, -1)
+    shifted = np.roll(img3, 3, axis=1)
+    absflow, flow = calc_optical_flow_device(img3, shifted, res=(128, 64))
+    assert flow.shape == (64, 128, 2) and absflow.shape == (64, 128)
+    dx = np.median(flow[10:-10, 10:-10, 0])
+    assert 1.5 < dx < 4.5, dx
+    assert get_flow_fn("horn_schunck") is calc_optical_flow_device
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        get_flow_fn("nope")
