@@ -55,7 +55,9 @@ def main(argv=None):
     args, _ = parser.parse_known_args(argv)
 
     cfg = config_from_args(args)
-    for k, v in sorted(vars(cfg).items()) if hasattr(cfg, "__dict__") else []:
+    import dataclasses
+
+    for k, v in sorted(dataclasses.asdict(cfg).items()):
         print(f"\t{k} : {v}")
 
     params = load_params(args.weights, args.mode)

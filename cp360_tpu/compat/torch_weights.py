@@ -22,7 +22,7 @@ from typing import Dict, Mapping
 
 import numpy as np
 
-from cp360_tpu.models.resnet import ARCHS, _EXPANSION
+from cp360_tpu.models.resnet import ARCHS
 
 
 def _conv_w(t) -> np.ndarray:

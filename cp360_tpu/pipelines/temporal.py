@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import os
 import time
-from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,19 +28,12 @@ import numpy as np
 import optax
 
 from cp360_tpu.config import Config
-from cp360_tpu.compat.torch_weights import load_npz, save_npz
+from cp360_tpu.compat.torch_weights import save_npz
 from cp360_tpu.models.clstm import clstm_rollout, init_clstm_params
 from cp360_tpu.ops.resample import cube_to_equi
 from cp360_tpu.train import losses as L
 
 TMP_LOSS_LEN = 3  # pairs of consecutive predictions entering the losses
-
-
-@dataclass
-class TrainState:
-    params: dict
-    opt_state: optax.OptState
-    step: int = 0
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:

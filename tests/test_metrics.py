@@ -17,16 +17,6 @@ from cp360_tpu.metrics.saliency import (
 GOLDEN = np.load(os.path.join(os.path.dirname(__file__), "golden", "metrics.npz"))
 
 
-class _SeededNp:
-    """np.random module facade with a fixed seed (replays reference stream)."""
-
-    def __init__(self, seed):
-        self.seed = seed
-
-    def __getattr__(self, name):
-        return getattr(np.random, name)
-
-
 @pytest.mark.parametrize("i", [0, 1, 2])
 def test_auc_judd_parity(i):
     np.random.seed(123 + i)

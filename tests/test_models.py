@@ -24,7 +24,6 @@ from cp360_tpu.models import (
     cam_forward,
     cam_scores,
     clstm_rollout,
-    clstm_step,
     init_clstm_params,
     init_resnet_params,
     resnet_apply,

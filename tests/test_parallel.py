@@ -10,7 +10,7 @@ from cp360_tpu.config import Config
 from cp360_tpu.models.clstm import init_clstm_params
 from cp360_tpu.parallel.mesh import clstm_param_sharding, data_sharding, make_mesh
 from cp360_tpu.pipelines.temporal import window_infer
-from cp360_tpu.train.loop import make_optimizer, make_train_step
+from cp360_tpu.train.loop import make_train_step
 
 
 def test_eight_virtual_devices():
