@@ -1,0 +1,41 @@
+"""Serving CLI: long-lived HTTP saliency inference on the TPU.
+
+    python -m cp360_tpu.cli.serve --weights resnet50.npz \
+        [--host 0.0.0.0] [--port 8360] [--config config.yaml]
+
+POST an equirectangular JPEG/PNG to /saliency (add ?format=png for a
+heatmap image); GET /healthz for liveness.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cp360_tpu.config import add_config_overrides, config_from_args
+from cp360_tpu.serving.server import SaliencyModel, serve
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--weights", type=str, default=None, help=".npz/.pth backbone")
+    parser.add_argument("--mode", type=str, default="resnet50")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8360)
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(argv)
+    cfg = config_from_args(args)
+
+    from cp360_tpu.cli.extract_features import load_params
+
+    params = load_params(args.weights, args.mode)
+    model = SaliencyModel(params, cfg, arch=args.mode)
+    httpd = serve(model, host=args.host, port=args.port)
+    print(f"serving saliency on http://{args.host}:{args.port} (arch {args.mode})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
