@@ -1,0 +1,62 @@
+"""Streaming pipeline == offline two-stage pipeline (no-disk equivalence)."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cp360_tpu.config import Config
+from cp360_tpu.models.clstm import init_clstm_params
+from cp360_tpu.models.resnet import init_resnet_params
+from cp360_tpu.pipelines.extract import extract_video
+from cp360_tpu.pipelines.stream import stream_video_saliency
+from cp360_tpu.pipelines.temporal import infer_video
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_stream_matches_offline(tmp_path):
+    # tiny video
+    path = str(tmp_path / "v.mp4")
+    rng = np.random.RandomState(0)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = (rng.rand(128, 256, 3) * 255).astype(np.uint8)
+    for t in range(12):
+        vw.write(np.roll(base, 5 * t, axis=1))
+    vw.release()
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, flow_h=32, seq_len=5,
+                 compute_dtype="float32", feat_dtype="float16",
+                 opt_flow=False, extract_batch=4)
+    # 16-class head keeps the CPU test fast; CAM channels = num_classes
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+
+    # offline: extract artifacts then window inference
+    out = str(tmp_path / "art")
+    extract_video(backbone, cfg, path, out, output_img=False,
+                  output_feature=True, output_motion=False,
+                  arch="resnet18", batch_frames=4)
+    offline = infer_video(
+        clstm, os.path.join(out, "cube_feat"), cfg.seq_len,
+        batch_windows=3, compute_dtype=jnp.float32,
+    )
+    offline_ids = {idx + cfg.seq_len - 1: p for idx, p in offline.items()}
+
+    # streaming: same video, no disk
+    stream = dict(
+        stream_video_saliency(
+            backbone, clstm, path, cfg.replace(compute_dtype="float32"),
+            arch="resnet18", stage1_batch=4, window_batch=3,
+        )
+    )
+
+    # streaming also emits the final window that the reference's loop bound
+    # skips (documented in stream.py) — offline ids are a strict prefix
+    extra = sorted(set(stream) - set(offline_ids))
+    assert extra == [max(stream)]
+    assert sorted(offline_ids) == sorted(set(stream) - {max(stream)})
+    for k in offline_ids:
+        np.testing.assert_allclose(stream[k], offline_ids[k], atol=1e-4, rtol=1e-4)
