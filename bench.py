@@ -31,7 +31,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
-    n_meas = int(os.environ.get("BENCH_BATCHES", "16"))
+    n_meas = int(os.environ.get("BENCH_BATCHES", "8"))
 
     params = init_resnet_params(jax.random.PRNGKey(0), "resnet50")
     params = jax.device_put(params)
