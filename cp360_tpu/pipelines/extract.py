@@ -220,11 +220,16 @@ def extract_video(
     whose requested artifacts already exist on disk are skipped, so a
     killed/crashed job continues where it stopped.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import cv2
 
     from cp360_tpu.flow.optical_flow import get_flow_fn
 
     flow_fn = get_flow_fn(cfg.flow_backend)
+    # flow is the slowest host stage (SURVEY.md §3.1 hot spot #3); cv2
+    # releases the GIL, so frame pairs run across a worker pool
+    flow_pool = ThreadPoolExecutor(max_workers=cfg.processes) if cfg.opt_flow and output_motion else None
 
     feat_dir = os.path.join(out_dir, "cube_feat")
     motion_dir = os.path.join(out_dir, "motion")
@@ -258,9 +263,10 @@ def extract_video(
                     scores[k].transpose(0, 3, 1, 2),  # reference [6,1000,7,7]
                 )
             if output_motion and flows[k] is not None:
+                flow_k = flows[k].result() if hasattr(flows[k], "result") else flows[k]
                 np.save(
                     os.path.join(motion_dir, f"{cnt:06}.npy"),
-                    flows[k].astype(np.float32),
+                    flow_k[1].astype(np.float32),
                 )
             if output_img:
                 overlay(pil_imgs[k], sals[k]).save(os.path.join(out_dir, f"{cnt:06}.jpg"))
@@ -309,8 +315,10 @@ def extract_video(
             continue
         frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
         flow = None
-        if cfg.opt_flow and output_motion:
-            _, flow = flow_fn(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
+        if flow_pool is not None:
+            flow = flow_pool.submit(
+                flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
+            )
         batch.append((cnt, frame_u8, pil_img, flow))
         prev_bgr = frame
 
@@ -326,5 +334,7 @@ def extract_video(
         pending = out
     flush(pending)
     cap.release()
+    if flow_pool is not None:
+        flow_pool.shutdown(wait=True)
     log_fn(f"{vid_path}: {written} frames in {time.time() - t_start:.1f}s")
     return written
