@@ -190,15 +190,26 @@ class PrefetchLoader:
         def load_batch(idxs):
             return self.ds.get_batch(idxs, n_threads=self.num_threads)
 
+        def put(item) -> bool:
+            """Queue put that gives up when the consumer stopped iterating."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    q.put(load_batch(idxs))
-                q.put(None)
+                    if not put(load_batch(idxs)):
+                        return
+                put(None)
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()

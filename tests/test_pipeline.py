@@ -146,3 +146,16 @@ def test_builtin_splits_verbatim():
     # The reference's split files themselves share 2 ids
     # (Q_BavaspcFc_2, rtPkaCbL8Kg_1) — preserved verbatim.
     assert set(test_ids) & set(train_ids) == {"Q_BavaspcFc_2", "rtPkaCbL8Kg_1"}
+
+
+def test_prefetch_loader_early_break_no_deadlock(artifacts):
+    import threading
+
+    ds = WindowDataset(artifacts, None, ["vidA", "vidB"], seq_len=5)
+    loader = PrefetchLoader(ds, batch_size=1, shuffle=False, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer stops early; worker must not wedge the process
+    # a fresh epoch still works
+    assert len(list(loader)) == len(ds)
+    assert threading.active_count() < 20  # no unbounded thread leak
