@@ -17,7 +17,6 @@ the offline outputs are a strict prefix.
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Iterator, Optional, Tuple
 
 import jax.numpy as jnp
@@ -25,7 +24,7 @@ import numpy as np
 
 from cp360_tpu.config import Config
 from cp360_tpu.pipelines.extract import host_equi_to_cube_u8, stage1_batch_faces
-from cp360_tpu.pipelines.temporal import window_infer
+from cp360_tpu.pipelines.temporal import window_infer_from_frames
 
 
 def stream_video_saliency(
@@ -35,13 +34,14 @@ def stream_video_saliency(
     cfg: Config,
     arch: str = "resnet50",
     stage1_batch: int = 8,
-    window_batch: int = 8,
     max_frames: Optional[int] = None,
 ) -> Iterator[Tuple[int, np.ndarray]]:
     """Stream temporal saliency maps for a video.
 
     Equivalent to extract_features -> test_temporal on the same video, with
-    the CAM cubes never touching disk.
+    the CAM cubes never touching disk — or the host: stage-1 scores stay on
+    device, a device-side carry of the last seq_len-1 CAM frames bridges
+    batches, and only the tiny [2h, 4w] saliency maps come back.
     """
     import cv2
     from PIL import Image
@@ -55,45 +55,44 @@ def stream_video_saliency(
     if max_frames is not None:
         total = min(total, max_frames)
 
-    cam_ring: deque = deque(maxlen=None)  # (counter, cam [6,h,w,C] f16)
-    pending_windows = []  # list of (end_counter, window [T,6,h,w,C])
+    carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
+    carry_cnts: list = []
 
-    def flush_windows(force: bool = False):
-        while pending_windows and (force or len(pending_windows) >= window_batch):
-            chunk = pending_windows[:window_batch]
-            del pending_windows[: len(chunk)]
-            batch = np.stack([w for _, w in chunk])
-            if batch.shape[0] < window_batch:  # pad tail: one compiled shape
-                reps = np.repeat(batch[-1:], window_batch - batch.shape[0], axis=0)
-                batch = np.concatenate([batch, reps], axis=0)
-            preds = np.asarray(
-                window_infer(
-                    clstm_params, jnp.asarray(batch),
-                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-                )
-            )
-            for (end_cnt, _), p in zip(chunk, preds):
-                # id matches the offline pipeline's saved/GT numbering
-                # ({position + seq_len - 1:05}, test_temporal.py:86-88):
-                # artifact counters start at 2, so subtract 2.
-                yield end_cnt - 2, p
-
-    def process_frame_batch(batch):  # [(cnt, frame_u8)]
+    def process_frame_batch(batch):  # [(cnt, frame_u8)] -> yields (id, sal)
+        nonlocal carry, carry_cnts
         faces = np.stack([host_equi_to_cube_u8(f, cfg.cube_dim) for _, f in batch])
         scores, _ = stage1_batch_faces(
             backbone_params, jnp.asarray(faces), arch=arch,
             use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
             out_dtype=jnp.float16,
-        )
-        scores = np.asarray(scores)
-        for (cnt, _), cam in zip(batch, scores):
-            cam_ring.append((cnt, cam))
-        # form complete windows (stride 1, protocol ordering)
-        while len(cam_ring) >= seq_len:
-            window = np.stack([cam_ring[i][1] for i in range(seq_len)])
-            end_cnt = cam_ring[seq_len - 1][0]
-            pending_windows.append((end_cnt, window))
-            cam_ring.popleft()
+        )  # device [B, 6, h, w, C]
+        cnts = [c for c, _ in batch]
+        if carry is None:
+            frames_dev = scores
+            all_cnts = cnts
+        else:
+            frames_dev = jnp.concatenate([carry, scores], axis=0)
+            all_cnts = carry_cnts + cnts
+
+        n = frames_dev.shape[0]
+        n_windows = n - seq_len + 1
+        if n_windows > 0:
+            positions = jnp.arange(n_windows, dtype=jnp.int32)
+            preds = np.asarray(
+                window_infer_from_frames(
+                    clstm_params, frames_dev, positions, seq_len=seq_len,
+                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                )
+            )
+            for k in range(n_windows):
+                # id matches the offline saved/GT numbering
+                # ({position + seq_len - 1:05}, test_temporal.py:86-88):
+                # artifact counters start at 2, so subtract 2.
+                yield all_cnts[k + seq_len - 1] - 2, preds[k]
+
+        keep = seq_len - 1
+        carry = frames_dev[-keep:]
+        carry_cnts = all_cnts[-keep:]
 
     prev = None
     fbatch = []
@@ -111,10 +110,8 @@ def stream_video_saliency(
         fbatch.append((cnt, np.asarray(img, np.uint8)))
         prev = frame
         if len(fbatch) == stage1_batch:
-            process_frame_batch(fbatch)
+            yield from process_frame_batch(fbatch)
             fbatch = []
-            yield from flush_windows()
     if fbatch:
-        process_frame_batch(fbatch)
-    yield from flush_windows(force=True)
+        yield from process_frame_batch(fbatch)
     cap.release()

@@ -49,7 +49,7 @@ def test_stream_matches_offline(tmp_path):
     stream = dict(
         stream_video_saliency(
             backbone, clstm, path, cfg.replace(compute_dtype="float32"),
-            arch="resnet18", stage1_batch=4, window_batch=3,
+            arch="resnet18", stage1_batch=4,
         )
     )
 
