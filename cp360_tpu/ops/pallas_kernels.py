@@ -23,7 +23,7 @@ MXU.  Inference-path only (the training step keeps the autodiff-friendly
 XLA formulation); parity is tested against the gather-based reference path.
 
 Measured on one v5e at the production shape ([32, 6, 7, 7, 4000] -> 4000,
-bf16): XLA's gather-pad + conv runs at ~154 TFLOP/s (78% of peak) and this
+bf16): XLA's pad + conv runs at ~150 TFLOP/s (76% of peak) and this
 kernel at ~121 TFLOP/s — XLA's convolution is already near-optimal here, so
 the fused kernel stays OFF the default path.  It exists as the measured
 alternative (and wins where the padded-intermediate HBM round-trip matters,
