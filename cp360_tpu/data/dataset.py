@@ -89,8 +89,10 @@ class WindowDataset:
                 if not os.path.exists(mp):
                     raise FileNotFoundError(f"missing flow frame {mp}")
                 flows.append(np.load(mp))
-        seq = np.stack(cams).astype(np.float32)
-        flow = np.stack(flows).astype(np.float32) if flows else np.zeros((self.seq_len, 0, 0, 2), np.float32)
+        # artifact dtype is preserved (f16 artifacts halve host->device
+        # bytes); device code upcasts to f32 before math
+        seq = np.stack(cams)
+        flow = np.stack(flows) if flows else np.zeros((self.seq_len, 0, 0, 2), np.float32)
         return seq, flow, vid, start
 
     def _probe_shapes(self):
@@ -130,12 +132,12 @@ class WindowDataset:
 
         cams = load_npy_batch(cam_paths, cam_shape, cam_dtype, n_threads)
         cams = cams.reshape(b, t, *cam_shape)
-        # reference layout [6, C, h, w] -> NHWC
-        seq = np.ascontiguousarray(cams.transpose(0, 1, 2, 4, 5, 3), np.float32)
+        # reference layout [6, C, h, w] -> NHWC; artifact dtype preserved
+        seq = np.ascontiguousarray(cams.transpose(0, 1, 2, 4, 5, 3))
         if self.require_motion:
             (flow_shape, flow_dtype) = flow_info
             flows = load_npy_batch(flow_paths, flow_shape, flow_dtype, n_threads)
-            flows = flows.reshape(b, t, *flow_shape).astype(np.float32)
+            flows = flows.reshape(b, t, *flow_shape)
         else:
             flows = np.zeros((b, t, 0, 0, 2), np.float32)
         return seq, flows

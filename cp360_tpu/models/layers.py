@@ -40,15 +40,18 @@ def conv2d(
         w = w.astype(compute_dtype)
     # True-f32 operands mean a parity/eval path: request full f32 mults
     # (XLA's default relaxes f32 convs to lower precision on CPU and TPU).
-    precision = "highest" if x.dtype == jnp.float32 else None
+    # bf16 operands: no preferred_element_type — the MXU accumulates f32
+    # internally and only the output store rounds; requesting an f32 output
+    # breaks the conv transpose under autodiff (mixed-dtype operands).
+    is_f32 = x.dtype == jnp.float32
     out = lax.conv_general_dilated(
         x,
         w,
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision,
+        preferred_element_type=jnp.float32 if is_f32 else None,
+        precision="highest" if is_f32 else None,
     )
     out = out.astype(orig_dtype)
     if b is not None:

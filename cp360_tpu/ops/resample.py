@@ -221,6 +221,20 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
     return out
 
 
+@lru_cache(maxsize=32)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """1-D align-corners bilinear interpolation matrix [n_out, n_in]."""
+    pos = np.linspace(0.0, n_in - 1.0, n_out)
+    i0 = np.floor(pos).astype(np.int64)
+    f = pos - i0
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    m = np.zeros((n_out, n_in), np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, i0), 1.0 - f)
+    np.add.at(m, (rows, i1), f)
+    return m
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """torch-0.3 ``upsample(mode='bilinear')`` (align_corners=True), NHWC.
@@ -229,14 +243,17 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
       x: [N, H, W, C] -> [N, out_h, out_w, C].
 
     The training losses upsample 14x28 predictions to flow resolution with
-    this op (temporal_model/train_temporal.py:132-135).
+    this op (temporal_model/train_temporal.py:132-135).  Bilinear resize is
+    separable, so it runs as two dense interpolation matmuls (MXU) rather
+    than a gather — same exact weights.
     """
     n, h, w, c = x.shape
-    ys = jnp.linspace(0.0, h - 1.0, out_h)
-    xs = jnp.linspace(0.0, w - 1.0, out_w)
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    flat = x.reshape(n, h * w, c)
-    return _bilinear_gather(flat, gx, gy, h, w)
+    ry = jnp.asarray(_resize_matrix(h, out_h))  # [out_h, h]
+    rx = jnp.asarray(_resize_matrix(w, out_w))  # [out_w, w]
+    xf = x.astype(jnp.float32)
+    out = jnp.einsum("Oh,nhwc->nOwc", ry, xf, preferred_element_type=jnp.float32)
+    out = jnp.einsum("Pw,nhwc->nhPc", rx, out, preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def remap_bilinear_numpy(img: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:

@@ -66,8 +66,12 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     use_cp = cfg.cube_pad
     mm_th = cfg.mm_th
     flow_h = cfg.flow_h
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, seq, flows):
+        # accept f16 batches (half the host->device bytes); math is f32+
+        seq = seq.astype(jnp.float32)
+        flows = flows.astype(jnp.float32)
         b, t = seq.shape[0], seq.shape[1]
         # Intra-window normalization, per sample (== reference at its
         # batch_size=1; keeps windows independent of batch packing).
@@ -79,7 +83,8 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         x = x.reshape(t, b * 6, *x.shape[3:])
         h0 = c0 = x[0]
         hiddens, _, _ = clstm_rollout(
-            params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat
+            params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat,
+            compute_dtype=compute_dtype,
         )
 
         preds = predictions_from_hiddens(hiddens, b)  # [K+1, B, 2w, 4w]

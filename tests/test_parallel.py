@@ -41,7 +41,8 @@ def test_dp_tp_train_step_matches_single_device():
     import optax
 
     chans = 16
-    cfg = Config(input_size=chans, hidden_size=chans, flow_h=16, lr=1e-3)
+    cfg = Config(input_size=chans, hidden_size=chans, flow_h=16, lr=1e-3,
+                 compute_dtype="float32")  # deterministic math for exactness checks
     # host copy — the train step donates its params/opt_state arguments
     params = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), chans, chans))
     # SGD so the update is linear in the gradient (Adam's step-1 sign(g)
