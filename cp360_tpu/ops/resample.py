@@ -83,6 +83,12 @@ def equi_to_cube(equi: jax.Array, face_w: int) -> jax.Array:
       face_w: output face resolution (e.g. 224).
 
     Returns [6, face_w, face_w, C] (or [N, 6, ...]) in B D F L R T order.
+
+    NOTE: this exact all-device path is the semantic reference; on TPU the
+    4-tap gather of 3-channel rows lowers poorly (~66 ms/frame on v5e), so
+    the production extraction default samples faces on host
+    (host_equi_to_cube_u8, config ``host_cube_remap: true``) and ships the
+    0.9 MB faces instead of the 5.5 MB frame.
     """
     squeeze = equi.ndim == 3
     if squeeze:
