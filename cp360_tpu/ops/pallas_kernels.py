@@ -72,7 +72,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(a2_ref, x_ref, w_ref, b_ref, o_ref, acc_ref):
-    # acc layout: [bn * 9 * rows, co_t] f32, sample-major then tap.
+    # acc layout: [9 * rows, bn * co_t] f32 — tap-major rows, sample-blocked
+    # columns, so the final selection is ONE matmul across all bn samples.
     ci = pl.program_id(2)
 
     @pl.when(ci == 0)
@@ -80,29 +81,31 @@ def _kernel(a2_ref, x_ref, w_ref, b_ref, o_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     bn, rows = x_ref.shape[0], x_ref.shape[1]
+    co_t = o_ref.shape[-1]
     x = x_ref[:].reshape(bn * rows, -1)
     # 9 per-tap channel contractions, one [bn*rows, ci_t] x [ci_t, co_t]
-    # matmul per tap, accumulated in-place into per-(sample, tap) row bands.
+    # matmul per tap, scattered into per-(tap, sample) blocks.
     for k in range(9):
         upd = jnp.dot(x, w_ref[k], preferred_element_type=jnp.float32)
         for n in range(bn):
-            band = slice((n * 9 + k) * rows, (n * 9 + k + 1) * rows)
-            acc_ref[band, :] += upd[n * rows : (n + 1) * rows]
+            acc_ref[k * rows : (k + 1) * rows, n * co_t : (n + 1) * co_t] += (
+                upd[n * rows : (n + 1) * rows]
+            )
 
     @pl.when(ci == pl.num_programs(2) - 1)
     def _():
-        # per-sample stacked selection matmul:
-        # out[n, p] = sum_{k,q} A2[p, kq] acc[n, kq].  bf16 operands (A2 is
-        # 0/1-exact; the taps round once) keep the MXU at full rate.
+        # one stacked selection matmul for ALL samples:
+        # out[p, n*co_t + c] = sum_{kq} A2[p, kq] acc[kq, n*co_t + c].
+        # bf16 operands (A2 is 0/1-exact; the taps round once) keep the MXU
+        # at full rate.
         bias = b_ref[:].astype(jnp.float32)
+        y = jnp.dot(
+            a2_ref[:],
+            acc_ref[:].astype(a2_ref.dtype),
+            preferred_element_type=jnp.float32,
+        )
         for n in range(bn):
-            acc_n = acc_ref[n * 9 * rows : (n + 1) * 9 * rows, :]
-            y = jnp.dot(
-                a2_ref[:],
-                acc_n.astype(a2_ref.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            o_ref[n] = (y + bias).astype(o_ref.dtype)
+            o_ref[n] = (y[:, n * co_t : (n + 1) * co_t] + bias).astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("ci_tile", "co_tile", "block_n", "interpret"))
@@ -163,7 +166,7 @@ def cube_conv3x3(
             (block_n, rows, co_tile), lambda ni, co, ci: (ni, 0, co), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n_p, rows, cout_p), x.dtype),
-        scratch_shapes=[pltpu.VMEM((block_n * 9 * rows, co_tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((9 * rows, block_n * co_tile), jnp.float32)],
         interpret=interpret,
     )(a2, x2, w2, b2)
 
