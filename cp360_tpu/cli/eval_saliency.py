@@ -7,8 +7,19 @@ eval_saliency.py:282,296); this one works: it scores either stage-2
 prediction dirs (<root>/<vid>/NNNNN.npy) or stage-1 CAM cube dirs
 (<root>/<vid>/cube_feat/NNNNNN.npy, projected to equi + channel-maxed).
 
+Prediction->GT frame alignment (``--offset`` = pred index − GT index):
+  - stage-2 files are saved as {window_end:05}.npy and the reference loads
+    the *same-numbered* GT (test_temporal.py:86-88,101-102) -> offset 0;
+  - stage-1 cube_feat artifacts start at 000002 and artifact N holds video
+    frame N-2 (dataset_feat_extractor.py:126-137,187-189: cnt+=1 after a
+    skipped first frame, content is the previous iteration's cur_frame),
+    and GT is 0-based -> offset 2.  (The reference's own standalone CLI
+    instead expects `feat_0{gt:05}.npy` names its extractor never writes,
+    eval_saliency.py:263-264 — mutually broken upstream; ours follows the
+    alignment the published protocol implies.)
+
     python -m cp360_tpu.cli.eval_saliency --input output/temporal \
-        --gt /path/Wild360_GT [--seq-len 5]
+        --gt /path/Wild360_GT [--offset N]
 """
 
 from __future__ import annotations
@@ -20,6 +31,16 @@ import numpy as np
 
 from cp360_tpu.data.dataset import builtin_split
 from cp360_tpu.metrics import saliency as M
+
+
+def default_offset(pred_dir: str) -> int:
+    """Pred-index minus GT-index for a prediction directory (see module doc)."""
+    return 2 if os.path.basename(pred_dir) == "cube_feat" else 0
+
+
+def gt_name_for(fname: str, offset: int) -> str:
+    """GT filename for prediction file ``fname`` under the given offset."""
+    return f"{int(fname.split('.')[0]) - offset:05}.npy"
 
 
 def _load_prediction(path: str) -> np.ndarray:
@@ -42,6 +63,9 @@ def main(argv=None):
     parser.add_argument("--gt", type=str, required=True, help="GT root (<vid>.mp4/NNNNN.npy)")
     parser.add_argument("--split", type=str, default="test_25")
     parser.add_argument("--seed", type=int, default=None, help="metric RNG seed")
+    parser.add_argument("--offset", type=int, default=None,
+                        help="pred index - GT index (default: auto — 0 for "
+                             "stage-2 dirs, 2 for stage-1 cube_feat dirs)")
     args, _ = parser.parse_known_args(argv)
 
     rng = np.random.RandomState(args.seed) if args.seed is not None else None
@@ -58,11 +82,12 @@ def main(argv=None):
         if not os.path.isdir(gt_dir):
             continue
 
+        offset = args.offset if args.offset is not None else default_offset(pred_dir)
         scores = {k: [] for k in totals}
         for fname in sorted(os.listdir(pred_dir)):
             if not fname.endswith(".npy"):
                 continue
-            gt_path = os.path.join(gt_dir, f"{int(fname.split('.')[0]):05}.npy")
+            gt_path = os.path.join(gt_dir, gt_name_for(fname, offset))
             if not os.path.exists(gt_path):
                 continue
             pred = _load_prediction(os.path.join(pred_dir, fname))

@@ -49,11 +49,15 @@ def main(argv=None):
         model_path = os.path.join(cfg.checkpoint_path, args.model)
     params = load_clstm(model_path)
 
-    mesh = None
     if args.data_parallel:
-        from cp360_tpu.parallel.mesh import make_mesh
+        cfg = cfg.replace(mesh_data=args.data_parallel)
+    from cp360_tpu.parallel.mesh import clstm_param_sharding, mesh_from_config
 
-        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+    mesh = mesh_from_config(cfg)
+    if mesh is not None and cfg.mesh_model > 1:
+        import jax
+
+        params = jax.device_put(params, clstm_param_sharding(mesh, params))
 
     vids = [v for v in builtin_split("test_25")
             if os.path.isdir(os.path.join(args.dir, v, "cube_feat"))]

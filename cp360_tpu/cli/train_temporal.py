@@ -49,11 +49,13 @@ def main(argv=None):
         ds, batch_size=cfg.batch_size, shuffle=True, num_threads=cfg.processes
     )
 
-    mesh = None
+    # --data-parallel overrides the config's mesh_data; mesh_model comes
+    # from config (tensor-parallel ConvLSTM channels).
     if args.data_parallel:
-        from cp360_tpu.parallel.mesh import make_mesh
+        cfg = cfg.replace(mesh_data=args.data_parallel)
+    from cp360_tpu.parallel.mesh import mesh_from_config
 
-        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+    mesh = mesh_from_config(cfg)
 
     params = None
     resume_state = None

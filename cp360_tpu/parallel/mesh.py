@@ -39,6 +39,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Mesh from the ``mesh_data``/``mesh_model`` config keys.
+
+    Returns None for the 1x1 (single-device) default so callers keep the
+    unsharded fast path.
+    """
+    if cfg.mesh_data * cfg.mesh_model <= 1:
+        return None
+    return make_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding for inputs: [B, ...] split along the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -68,4 +79,12 @@ def clstm_param_sharding(mesh: Mesh, params: dict) -> dict:
 
 def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch with the leading dim split along data."""
+    n_data = mesh.shape.get(DATA_AXIS, 1)
+    for leaf in jax.tree.leaves(tree):
+        if leaf.shape[0] % n_data:
+            raise ValueError(
+                f"batch dim {leaf.shape[0]} not divisible by the mesh data "
+                f"axis ({n_data} devices); pick batch_size as a multiple of "
+                f"mesh_data"
+            )
     return jax.device_put(tree, data_sharding(mesh))

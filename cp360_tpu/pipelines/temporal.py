@@ -50,7 +50,11 @@ def window_infer(
     b, t = windows.shape[0], windows.shape[1]
     mn = jnp.min(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
     mx = jnp.max(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
-    norm = (windows - mn) / (mx - mn)
+    # Deliberate divergence: the reference NaNs on a constant window
+    # (test_temporal.py:66-71 divides by max-min == 0); here a constant
+    # window normalizes to zeros so saved artifacts stay finite.
+    denom = jnp.where(mx > mn, mx - mn, 1.0)
+    norm = (windows - mn) / denom
 
     x = jnp.moveaxis(norm, 1, 0).reshape(t, b * 6, *windows.shape[3:])
     h0 = c0 = x[0]
@@ -125,6 +129,13 @@ def infer_video(
     replicated — they're shared by overlapping windows) so each chip runs
     batch_windows / n_data windows.
     """
+    if mesh is not None:
+        n_data = mesh.shape.get("data", 1)
+        if batch_windows % n_data:
+            raise ValueError(
+                f"batch_windows={batch_windows} must be divisible by the mesh "
+                f"data axis ({n_data} devices) so window positions shard evenly"
+            )
     frame_ids = video_windows(feat_dir)
     n = len(frame_ids)
     n_windows = max(0, n - seq_len)

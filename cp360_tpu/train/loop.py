@@ -77,6 +77,10 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         # batch_size=1; keeps windows independent of batch packing).
         mn = jnp.min(seq, axis=(1, 2, 3, 4, 5), keepdims=True)
         rng = jnp.max(seq - mn, axis=(1, 2, 3, 4, 5), keepdims=True)
+        # Deliberate divergence: the reference divides by 0 on a constant
+        # window (train_temporal.py:76-90, silent NaN loss); here a constant
+        # window normalizes to zeros and training stays finite.
+        rng = jnp.where(rng > 0, rng, 1.0)
         seqn = (seq - mn) / rng
 
         x = jnp.moveaxis(seqn, 1, 0)  # [T, B, 6, h, w, C]
@@ -197,48 +201,71 @@ def train(
 
     if params is None:
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
+
+    def place(p):
+        """dp: replicate params; tp: shard conv output channels on `model`."""
+        if mesh is None:
+            return p
+        from cp360_tpu.parallel.mesh import clstm_param_sharding
+
+        return jax.device_put(jax.device_get(p), clstm_param_sharding(mesh, p))
+
+    params = place(params)
     optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
+    opt_state = optimizer.init(params)  # inherits the param shardings
     step_fn = make_train_step(cfg, optimizer)
 
     ckdir = checkpoint_dir(cfg)
     it, start_epoch = 0, 0
     if resume_state and os.path.exists(resume_state):
+        opt_template = opt_state
         params, opt_state, it, start_epoch = load_train_state(
             resume_state, params, opt_state
         )
+        params = place(params)
+        if mesh is not None:  # restore each leaf onto its template's sharding
+            opt_state = jax.tree.map(
+                lambda t, v: jax.device_put(np.asarray(v), t.sharding)
+                if hasattr(t, "sharding") else v,
+                opt_template, opt_state,
+            )
         log_fn(f"resumed full train state from {resume_state} (iter {it}, epoch {start_epoch})")
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
     with logger, maybe_profile(cfg.profile_dir):
         for epoch in range(start_epoch, cfg.epochs):
-            running, batch_time = 0.0, 0.0
+            # ``running`` stays a lazy device scalar: materializing the loss
+            # every step (float()) would block JAX async dispatch and
+            # serialize the pipeline — the host only syncs at summary_freq.
+            running = jnp.zeros((), jnp.float32)
             n_since = 0
+            t_sum = time.time()
             for seq, flows in loader:
-                t0 = time.time()
                 if mesh is not None:
                     from cp360_tpu.parallel import mesh as pmesh
 
                     seq = pmesh.shard_batch(mesh, seq)
                     flows = pmesh.shard_batch(mesh, flows)
                 params, opt_state, metrics = step_fn(params, opt_state, seq, flows)
-                loss = float(metrics["loss"])
-                running += loss
-                batch_time += time.time() - t0
+                running = running + metrics["loss"]
                 n_since += 1
                 it += 1
 
                 if it % cfg.summary_freq == 0:
+                    loss_avg = float(running) / n_since  # the one host sync
+                    now = time.time()
                     logger.log(
                         "train",
                         epoch=epoch,
                         iter=it,
-                        loss_avg=running / n_since,
+                        loss_avg=loss_avg,
                         loss_smooth=cfg.l_s * float(metrics["smooth"]),
                         loss_temporal=cfg.l_t * float(metrics["temporal"]),
                         loss_mask=cfg.l_m * float(metrics["mask"]),
-                        batch_time_avg=batch_time / n_since,
+                        batch_time_avg=(now - t_sum) / n_since,
                     )
-                    running, batch_time, n_since = 0.0, 0.0, 0
+                    running = jnp.zeros((), jnp.float32)
+                    n_since = 0
+                    t_sum = now
                 if it % cfg.save_freq == 0:
                     save_checkpoint(
                         os.path.join(ckdir, checkpoint_name(epoch, it)), params

@@ -159,3 +159,55 @@ def test_prefetch_loader_early_break_no_deadlock(artifacts):
     # a fresh epoch still works
     assert len(list(loader)) == len(ds)
     assert threading.active_count() < 20  # no unbounded thread leak
+
+
+def test_constant_window_normalizes_to_zeros_not_nan():
+    """Deliberate divergence from the reference (test_temporal.py:66-71 /
+    train_temporal.py:76-90 divide by max-min == 0): constant windows must
+    stay finite through both inference and training."""
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    windows = jnp.full((2, 5, 6, 7, 7, C), 3.25, jnp.float32)
+    preds = np.asarray(window_infer(params, windows, compute_dtype=jnp.float32))
+    assert np.isfinite(preds).all()
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3,
+                 compute_dtype="float32")
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+    p = jax.device_get(params)
+    flows = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16, 32, 2), jnp.float32)
+    seq = jnp.full((2, 5, 6, 7, 7, C), 3.25, jnp.float32)
+    p2, _, metrics = step(jax.device_put(p), opt.init(jax.device_put(p)), seq, flows)
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(np.isfinite(np.asarray(v)).all() for v in jax.tree.leaves(p2))
+
+
+def test_infer_video_rejects_indivisible_batch_windows(artifacts):
+    from cp360_tpu.parallel.mesh import make_mesh
+
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    mesh = make_mesh(n_data=8, n_model=1)
+    feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
+    with pytest.raises(ValueError, match="divisible by the mesh data axis"):
+        infer_video(params, feat_dir, 5, batch_windows=6, mesh=mesh)
+
+
+def test_eval_cli_gt_alignment():
+    from cp360_tpu.cli.eval_saliency import default_offset, gt_name_for
+
+    # stage-2 prediction dirs: saved {window_end:05}.npy matches GT directly
+    # (test_temporal.py:86-88,101-102).
+    assert default_offset("/out/temporal/vidA") == 0
+    assert gt_name_for("00004.npy", 0) == "00004.npy"
+    # stage-1 cube_feat artifacts: numbering starts 000002 and artifact N
+    # holds video frame N-2 (dataset_feat_extractor.py:126-137,187-189).
+    assert default_offset("/out/static_resnet50/vidA/cube_feat") == 2
+    assert gt_name_for("000002.npy", 2) == "00000.npy"
+
+
+def test_mesh_from_config():
+    from cp360_tpu.parallel.mesh import mesh_from_config
+
+    assert mesh_from_config(Config()) is None  # 1x1 default: unsharded path
+    mesh = mesh_from_config(Config(mesh_data=4, mesh_model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
