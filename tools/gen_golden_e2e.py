@@ -1,0 +1,333 @@
+"""Generate the END-TO-END golden: run the reference pipeline WHOLE.
+
+Runs the actual reference drivers — static_model/dataset_feat_extractor.py
+``main()`` then temporal_model/test_temporal.py ``main()`` — on two short
+synthetic videos with deterministic synthetic weights, and captures every
+composition-level artifact:
+
+  - the synthetic input videos + GT fixation maps (committed, so the test
+    replays the identical inputs through OUR CLIs),
+  - stage-1 cube_feat artifacts per frame,
+  - stage-2 per-window equi predictions,
+  - per-video metric arrays and the final frame-weighted aggregate
+    (AUC-Judd / AUC-Borji / CC / SIM) plus the ``*_result.txt`` content.
+
+This converts "every quirk is unit-tested" into "the composition is proven":
+any drift in frame numbering, window protocol, normalization scope, GT
+alignment, or metric RNG replay fails tests/test_e2e_golden.py.
+
+Scaled-down-but-faithful operating point (full 1000-class/960-row frames
+would make the CPU run minutes-long for no extra coverage):
+  - equi frame 224 x 448, cube_dim 224 (the ResNet requires 224 faces —
+    AvgPool2d(7) pins layer4 to 7x7, model/resnet_cubic.py:134),
+  - 100 classes / CLSTM hidden 100 (the reference CAM hard-codes
+    num_class=1000, static_model/class_activation_model.py:14,83 — shimmed
+    with functools.partial(num_class=100) in the driver namespace),
+  - videos of 12 and 9 frames -> 11/8 artifacts (numbered from 000002,
+    dataset_feat_extractor.py:119-137), 6/3 windows at seq_len=5.
+
+Driver-level shims beyond tools/ref_shim.py (all weight/scale substitutions,
+not behavior changes):
+  - the driver's ``resnet50(pretrained=True)`` (zoo download, no network
+    here) is replaced by a factory building the same ``ResNet(Bottleneck,
+    [3,4,6,3], cp=True)`` with manifest-deterministic weights;
+  - np.random is seeded (1234) immediately before the stage-2 driver so the
+    metric jitter/split streams are replayable by our implementations;
+  - both drivers run under torch.no_grad() (to_equi_nn writes in-place into
+    a requires_grad leaf, utils/cube_to_equi.py:55-65 — legal on modern
+    torch only with grad disabled);
+  - the stage-1 heatmap step is BROKEN AS SHIPPED on any python/torch
+    version: dataset_feat_extractor.py:174 passes the NumPy CAM cube into
+    to_equi_nn, which calls ``input_data.size(1)`` (cube_to_equi.py:54) —
+    an int on ndarrays.  The unconditional crash would also block the
+    np.save of cube_feat below it (:187-189).  Shimmed with a Cube2Equi
+    wrapper that tensor-wraps the input and returns NumPy, i.e. the obvious
+    intent; the heatmap only feeds the (uncaptured) overlay jpgs.
+
+Usage: python tools/gen_golden_e2e.py  (writes tests/golden/e2e/)
+"""
+
+import functools
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import torch
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import ref_shim  # noqa: E402
+
+ref_shim.install_shims()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLD = os.path.join(REPO, "tests", "golden", "e2e")
+
+# First two ids of data/test_25.txt, in list order (our CLI iterates the
+# full builtin split and filters to existing dirs — order must match the
+# reference's, which iterates the sandbox's 2-line list).
+VIDS = [("va1AmV24VSs_2", 12), ("1_ifgJqLqTY_8", 9)]
+NUM_CLASSES = 100
+SEQ_LEN = 5
+EQUI_COLS, EQUI_ROWS = 448, 224  # config equi_h (PIL width) / equi_w
+CUBE_DIM = 224
+METRIC_SEED = 1234
+
+CONFIG_TMPL = """\
+data_vid_path: {root}/dataset
+label_path: {root}/Wild360_GT
+output_path: {root}/output
+checkpoint_path: {root}/checkpoint
+
+test_mode: true
+train_mode: false
+cube_pad: true
+use_gpu: false
+opt_flow: false
+
+equi_h: {cols}
+equi_w: {rows}
+cube_dim: {cube}
+flow_h: 64
+
+hidden_size: {classes}
+input_size: {classes}
+
+epochs: 1
+save_freq: 1000
+summary_freq: 10
+lr: 0.000001
+
+batch_size: 1
+seq_len: {seq}
+processes: 1
+
+l_s: 0.7
+l_t: 1.0
+l_m: 0.01
+mm_th: 0.15
+"""
+
+
+def synth_frames(vid_seed: int, n_frames: int) -> np.ndarray:
+    """Smooth deterministic equi content: drifting gaussian blobs over a
+    horizontal gradient (low-frequency, like real scenes — avoids worst-case
+    resampling noise)."""
+    h, w = EQUI_ROWS, EQUI_COLS
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    rng = np.random.RandomState(vid_seed)
+    blobs = [
+        (rng.uniform(0.2, 0.8) * h, rng.uniform(0.1, 0.9) * w,
+         rng.uniform(2.0, 5.0), rng.uniform(8, 30), rng.rand(3) * 200 + 55)
+        for _ in range(4)
+    ]
+    frames = np.empty((n_frames, h, w, 3), np.uint8)
+    for t in range(n_frames):
+        img = np.zeros((h, w, 3))
+        img[..., 0] = 40 + 60 * xx / w
+        img[..., 1] = 40 + 60 * yy / h
+        img[..., 2] = 60
+        for cy, cx, v, s, col in blobs:
+            cxt = (cx + v * t) % w
+            d2 = (yy - cy) ** 2 + np.minimum(
+                (xx - cxt) ** 2, (w - np.abs(xx - cxt)) ** 2
+            )
+            g = np.exp(-d2 / (2 * s * s))
+            img += g[..., None] * col
+        frames[t] = np.clip(img, 0, 255).astype(np.uint8)
+    return frames
+
+
+def write_video(path: str, frames: np.ndarray) -> None:
+    import cv2
+
+    h, w = frames.shape[1:3]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (w, h))
+    assert vw.isOpened(), path
+    for f in frames:
+        vw.write(f)
+    vw.release()
+
+
+def synth_gt(vid_seed: int, frame_idx: int) -> np.ndarray:
+    """GT fixation density at the metric grid (120x240): two gaussian
+    blobs, deterministic per (video, frame)."""
+    rng = np.random.RandomState(7000 + vid_seed * 100 + frame_idx)
+    yy, xx = np.mgrid[0:120, 0:240].astype(np.float64)
+    gt = np.zeros((120, 240))
+    for _ in range(2):
+        cy, cx = rng.uniform(20, 100), rng.uniform(20, 220)
+        s = rng.uniform(6, 14)
+        gt += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    return gt.astype(np.float32)
+
+
+def build_sandbox(root: str) -> None:
+    for sub in ("dataset/test", "Wild360_GT", "checkpoint", "run", "data", "output"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    with open(os.path.join(root, "config.yaml"), "w") as f:
+        f.write(CONFIG_TMPL.format(root=root, cols=EQUI_COLS, rows=EQUI_ROWS,
+                                   cube=CUBE_DIM, classes=NUM_CLASSES, seq=SEQ_LEN))
+    with open(os.path.join(root, "data", "test_25.txt"), "w") as f:
+        f.write("".join(v + "\n" for v, _ in VIDS))
+
+    for i, (vid, n_frames) in enumerate(VIDS):
+        write_video(os.path.join(root, "dataset", "test", vid + ".mp4"),
+                    synth_frames(100 + i, n_frames))
+        gtd = os.path.join(root, "Wild360_GT", vid + ".mp4")
+        os.makedirs(gtd, exist_ok=True)
+        # artifacts 2..n_frames; windows idx 0..n_art-seq-1; eval frame idx+4
+        n_art = n_frames - 1
+        for widx in range(n_art - SEQ_LEN):
+            fidx = widx + SEQ_LEN - 1
+            np.save(os.path.join(gtd, f"{fidx:05}.npy"), synth_gt(100 + i, fidx))
+
+
+def disable_gpu_pads(model, cube_pad_mod):
+    for m in model.modules():
+        if isinstance(m, cube_pad_mod.CubePadding):
+            m.use_gpu = False
+
+
+def main():
+    root = tempfile.mkdtemp(prefix="e2e_ref_")
+    build_sandbox(root)
+    print("sandbox:", root)
+
+    # --- load reference modules (shimmed) ----------------------------------
+    import types
+
+    pkg = types.ModuleType("model")
+    pkg.__path__ = ["/root/reference/model"]
+    sys.modules["model"] = pkg
+    cube_pad_mod = ref_shim.load_ref_module("model.cube_pad", "/root/reference/model/cube_pad.py")
+    resnet_mod = ref_shim.load_ref_module("model.resnet_cubic", "/root/reference/model/resnet_cubic.py")
+    clstm_mod = ref_shim.load_ref_module("model.clstm", "/root/reference/model/clstm.py")
+    # rewritten cube_to_equi must be in sys.modules BEFORE drivers import it
+    ref_shim.load_ref_module("utils.cube_to_equi", "/root/reference/utils/cube_to_equi.py")
+    cam_mod = ref_shim.load_ref_module(
+        "class_activation_model", "/root/reference/static_model/class_activation_model.py"
+    )
+
+    # --- synthetic weights --------------------------------------------------
+    torch.manual_seed(0)
+    net = resnet_mod.ResNet(resnet_mod.Bottleneck, [3, 4, 6, 3],
+                            num_classes=NUM_CLASSES, cp=True)
+    resnet_manifest = ref_shim.fill_state_dict(net, scheme="v2")
+    disable_gpu_pads(net, cube_pad_mod)
+    net.eval()
+
+    cell = clstm_mod.ConvLSTMCell(NUM_CLASSES, NUM_CLASSES, cp=True)
+    clstm_manifest = ref_shim.fill_state_dict(cell, scheme="v2")
+    torch.save(cell.state_dict(), os.path.join(root, "checkpoint", "CLSTM_synth.pth"))
+
+    # --- stage 1: reference dataset_feat_extractor.main() -------------------
+    feat_mod = ref_shim.load_ref_module(
+        "ref_feat_extractor", "/root/reference/static_model/dataset_feat_extractor.py"
+    )
+    feat_mod.resnet50 = lambda pretrained=True: net
+    feat_mod.CAM = functools.partial(cam_mod.CAM, num_class=NUM_CLASSES)
+
+    class NumpyCube2Equi(sys.modules["utils.cube_to_equi"].Cube2Equi):
+        """Fix for the broken-as-shipped heatmap call (see module doc)."""
+
+        def to_equi_nn(self, input_data):
+            t = torch.from_numpy(np.ascontiguousarray(input_data, np.float32))
+            return super().to_equi_nn(t).detach().numpy()[0]  # [C, 2w, 4w]
+
+    feat_mod.Cube2Equi = NumpyCube2Equi
+
+    cwd = os.getcwd()
+    os.chdir(os.path.join(root, "run"))
+    sys.argv = ["dataset_feat_extractor.py", "--out", "static", "--mode", "resnet50", "-of"]
+    try:
+        with torch.no_grad():
+            feat_mod.main()
+    finally:
+        os.chdir(cwd)
+
+    # --- stage 2: reference test_temporal.main() ----------------------------
+    tt_mod = ref_shim.load_ref_module(
+        "ref_test_temporal", "/root/reference/temporal_model/test_temporal.py"
+    )
+
+    def build_cell(input_size, hidden_size):
+        m = clstm_mod.ConvLSTMCell(input_size, hidden_size)
+        disable_gpu_pads(m, cube_pad_mod)
+        return m
+
+    tt_mod.ConvLSTMCell = build_cell
+
+    per_video = {}
+    orig_test = tt_mod.test
+
+    def capture_test(model, vid_name, *a, **k):
+        res = orig_test(model, vid_name, *a, **k)
+        per_video[vid_name] = res  # (AUC, CC, SIM, AUCB)
+        return res
+
+    tt_mod.test = capture_test
+
+    os.chdir(os.path.join(root, "run"))
+    sys.argv = ["test_temporal.py", "--model", "CLSTM_synth.pth",
+                "--dir", os.path.join(root, "output", "static_resnet50")]
+    np.random.seed(METRIC_SEED)
+    try:
+        with torch.no_grad():
+            tt_mod.main()
+    finally:
+        os.chdir(cwd)
+
+    # --- capture goldens -----------------------------------------------------
+    shutil.rmtree(GOLD, ignore_errors=True)
+    os.makedirs(GOLD)
+    for vid, _ in VIDS:
+        shutil.copy(os.path.join(root, "dataset", "test", vid + ".mp4"),
+                    os.path.join(GOLD, vid + ".mp4"))
+
+    out = {}
+    out["weight_scheme"] = np.array("v2")
+    out["num_classes"] = np.array(NUM_CLASSES)
+    out["seq_len"] = np.array(SEQ_LEN)
+    out["metric_seed"] = np.array(METRIC_SEED)
+    out["vids"] = np.array([v for v, _ in VIDS])
+    out["resnet_keys"] = np.array(list(resnet_manifest.keys()))
+    out["resnet_shapes"] = np.array([",".join(map(str, s)) for s in resnet_manifest.values()])
+    out["clstm_keys"] = np.array(list(clstm_manifest.keys()))
+    out["clstm_shapes"] = np.array([",".join(map(str, s)) for s in clstm_manifest.values()])
+
+    for vid, _ in VIDS:
+        for p in sorted(glob.glob(os.path.join(root, "output", "static_resnet50", vid, "cube_feat", "*.npy"))):
+            cnt = os.path.basename(p)[:-4]
+            out[f"feat/{vid}/{cnt}"] = np.load(p).astype(np.float32)
+        for p in sorted(glob.glob(os.path.join(root, "output", "temporal", vid, "*.npy"))):
+            fidx = os.path.basename(p)[:-4]
+            out[f"pred/{vid}/{fidx}"] = np.load(p).astype(np.float32)
+        for p in sorted(glob.glob(os.path.join(root, "Wild360_GT", vid + ".mp4", "*.npy"))):
+            fidx = os.path.basename(p)[:-4]
+            out[f"gt/{vid}/{fidx}"] = np.load(p)
+        auc, cc, sim, aucb = per_video[vid]
+        out[f"metrics/{vid}/AUC"] = auc
+        out[f"metrics/{vid}/CC"] = cc
+        out[f"metrics/{vid}/SIM"] = sim
+        out[f"metrics/{vid}/AUCB"] = aucb
+
+    with open(os.path.join(root, "run", "static_resnet50_result.txt")) as f:
+        result_txt = f.read()
+    out["result_txt"] = np.array(result_txt)
+
+    np.savez_compressed(os.path.join(GOLD, "e2e_golden.npz"), **out)
+    print("wrote", os.path.join(GOLD, "e2e_golden.npz"))
+    print("result.txt:", result_txt.strip())
+    for vid, _ in VIDS:
+        auc, cc, sim, aucb = per_video[vid]
+        print(vid, "AUC", np.mean(auc), "AUCB", np.mean(aucb),
+              "CC", np.mean(cc), "SIM", np.mean(sim))
+    print("sandbox kept at", root)
+
+
+if __name__ == "__main__":
+    main()
