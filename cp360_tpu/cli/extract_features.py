@@ -51,10 +51,17 @@ def main(argv=None):
     parser.add_argument("-om", "--output_motion", action="store_true")
     parser.add_argument("--weights", type=str, default=None, help=".npz or .pth backbone weights")
     parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--data-parallel", type=int, default=None,
+                        help="shard frame batches over N devices")
     add_config_overrides(parser)
     args, _ = parser.parse_known_args(argv)
 
     cfg = config_from_args(args)
+    if args.data_parallel:
+        cfg = cfg.replace(mesh_data=args.data_parallel)
+    from cp360_tpu.parallel.mesh import mesh_from_config
+
+    mesh = mesh_from_config(cfg)
     import dataclasses
 
     for k, v in sorted(dataclasses.asdict(cfg).items()):
@@ -87,6 +94,7 @@ def main(argv=None):
             arch=args.mode,
             max_frames=args.max_frames,
             batch_frames=cfg.extract_batch,
+            mesh=mesh,
         )
 
 

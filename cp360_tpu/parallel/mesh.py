@@ -31,11 +31,12 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
+    if n_data * n_model > len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} != {len(devices)} devices"
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"only {len(devices)} available"
         )
-    arr = np.asarray(devices).reshape(n_data, n_model)
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

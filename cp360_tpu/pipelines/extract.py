@@ -209,6 +209,7 @@ def extract_video(
     batch_frames: int = 8,
     resume: bool = True,
     log_fn=print,
+    mesh=None,
 ) -> int:
     """Process one video; returns the number of frames written.
 
@@ -219,6 +220,11 @@ def extract_video(
     ``resume=True`` makes extraction restartable (SURVEY.md §5.3): frames
     whose requested artifacts already exist on disk are skipped, so a
     killed/crashed job continues where it stopped.
+
+    With a ``mesh``, the frame batch shards along its data axis (frames are
+    independent — the reference's loop is serial only by construction,
+    dataset_feat_extractor.py:119-123) and params replicate; each chip runs
+    batch_frames / n_data frames of the identical fused graph.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -236,6 +242,20 @@ def extract_video(
     img_dir = os.path.join(out_dir, "img")
     for d in (out_dir, feat_dir, motion_dir, img_dir):
         os.makedirs(d, exist_ok=True)
+
+    if mesh is not None:
+        from cp360_tpu.parallel.mesh import data_sharding, replicated
+
+        n_data = mesh.shape.get("data", 1)
+        if batch_frames % n_data:
+            raise ValueError(
+                f"batch_frames={batch_frames} must be divisible by the mesh "
+                f"data axis ({n_data} devices) so frames shard evenly"
+            )
+        params = jax.device_put(params, replicated(mesh))
+        _shard_in = lambda x: jax.device_put(x, data_sharding(mesh))  # noqa: E731
+    else:
+        _shard_in = jnp.asarray
 
     cap = cv2.VideoCapture(vid_path)
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
@@ -284,13 +304,13 @@ def extract_video(
         if cfg.host_cube_remap:
             faces = np.stack([host_equi_to_cube_u8(f, cfg.cube_dim) for f in frames_u8])
             scores_dev, sal_dev = stage1_batch_faces(
-                params, jnp.asarray(faces), arch=arch,
+                params, _shard_in(faces), arch=arch,
                 use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
                 out_dtype=out_dtype,
             )
         else:
             scores_dev, sal_dev = stage1_batch(
-                params, jnp.asarray(frames_u8), cube_dim=cfg.cube_dim,
+                params, _shard_in(frames_u8), cube_dim=cfg.cube_dim,
                 arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
             )
         return (cnts, scores_dev, sal_dev, [b[2] for b in batch], [b[3] for b in batch])

@@ -96,3 +96,43 @@ def test_feat_dtype_f16(video, tmp_path):
     )
     cam = np.load(os.path.join(out, "cube_feat", "000002.npy"))
     assert cam.dtype == np.float16
+
+
+def test_extract_data_parallel_matches_single_device(video, cfg, tmp_path):
+    """Frame batches sharded over the mesh data axis produce the same
+    artifacts as the single-device run (frames are independent; tolerance is
+    fp-reassociation only — GSPMD partitioning reorders conv reductions)."""
+    from cp360_tpu.parallel.mesh import make_mesh
+
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    cfg_nf = cfg.replace(opt_flow=False)
+    out1 = str(tmp_path / "single")
+    extract_video(
+        params, cfg_nf, video, out1, output_img=False, output_feature=True,
+        output_motion=False, arch="resnet18", batch_frames=4,
+    )
+    out2 = str(tmp_path / "dp")
+    extract_video(
+        params, cfg_nf, video, out2, output_img=False, output_feature=True,
+        output_motion=False, arch="resnet18", batch_frames=4,
+        mesh=make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4]),
+    )
+    names = sorted(os.listdir(os.path.join(out1, "cube_feat")))
+    assert names == sorted(os.listdir(os.path.join(out2, "cube_feat")))
+    for n in names:
+        a = np.load(os.path.join(out1, "cube_feat", n))
+        b = np.load(os.path.join(out2, "cube_feat", n))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_extract_data_parallel_batch_divisibility_error(video, cfg, tmp_path):
+    from cp360_tpu.parallel.mesh import make_mesh
+
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    with pytest.raises(ValueError, match="divisible by the mesh"):
+        extract_video(
+            params, cfg.replace(opt_flow=False), video, str(tmp_path / "x"),
+            output_img=False, output_feature=True, output_motion=False,
+            arch="resnet18", batch_frames=5,
+            mesh=make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4]),
+        )
