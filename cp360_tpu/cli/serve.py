@@ -1,10 +1,12 @@
 """Serving CLI: long-lived HTTP saliency inference on the TPU.
 
     python -m cp360_tpu.cli.serve --weights resnet50.npz \
-        [--host 0.0.0.0] [--port 8360] [--config config.yaml]
+        [--clstm CLSTM.npz] [--host 0.0.0.0] [--port 8360] [--config config.yaml]
 
 POST an equirectangular JPEG/PNG to /saliency (add ?format=png for a
-heatmap image); GET /healthz for liveness.
+heatmap image); GET /healthz for liveness.  With --clstm, streaming
+temporal sessions are served on /temporal/{session,frame,close} — see
+cp360_tpu/serving/server.py.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ from cp360_tpu.serving.server import SaliencyModel, serve
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--weights", type=str, default=None, help=".npz/.pth backbone")
+    parser.add_argument("--clstm", type=str, default=None,
+                        help=".npz/.pth ConvLSTM — enables /temporal streaming")
     parser.add_argument("--mode", type=str, default="resnet50")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8360)
@@ -28,9 +32,15 @@ def main(argv=None):
     from cp360_tpu.cli.extract_features import load_params
 
     params = load_params(args.weights, args.mode)
-    model = SaliencyModel(params, cfg, arch=args.mode)
+    clstm_params = None
+    if args.clstm:
+        from cp360_tpu.cli.test_temporal import load_clstm
+
+        clstm_params = load_clstm(args.clstm)
+    model = SaliencyModel(params, cfg, arch=args.mode, clstm_params=clstm_params)
     httpd = serve(model, host=args.host, port=args.port)
-    print(f"serving saliency on http://{args.host}:{args.port} (arch {args.mode})")
+    print(f"serving saliency on http://{args.host}:{args.port} (arch {args.mode}"
+          f"{', temporal' if clstm_params is not None else ''})")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

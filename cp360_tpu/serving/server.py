@@ -4,10 +4,25 @@ The reference is a batch research pipeline with no serving story; this is
 the deployment surface for the same models: a long-lived process holding the
 compiled stage-1 graph (and optionally the ConvLSTM) on the TPU, answering
 
-    GET  /healthz            -> {"status": "ok", ...}
-    POST /saliency           -> image bytes (JPEG/PNG equi frame) in,
-                                JSON {"saliency": [[...]], "shape": [h, w]} out
-    POST /saliency?format=png-> grayscale PNG heatmap out
+    GET  /healthz                    -> {"status": "ok", ...}
+    POST /saliency                   -> image bytes (JPEG/PNG equi frame) in,
+                                        JSON {"saliency": [...], "shape": [h, w]} out
+    POST /saliency?format=png        -> grayscale PNG heatmap out
+    POST /temporal/session           -> {"session": id}  (needs --clstm)
+    POST /temporal/frame?session=ID  -> image bytes in; {"pending": k} until
+                                        seq_len frames are buffered, then
+                                        {"frame": i, "shape", "saliency"}
+    POST /temporal/close?session=ID  -> {"closed": true}
+
+Temporal sessions stream the stage-2 model statefully: the session state is
+the rolling window of the last seq_len stage-1 CAM cubes, kept ON DEVICE.
+Each new frame re-runs the published window protocol (joint min/max
+normalization + ConvLSTM state seeded from the window's first frame,
+temporal_model/test_temporal.py:66-79) over that window, so a streaming
+client sees exactly the offline pipeline's predictions, one frame of
+latency at a time.  A raw (h, c) carry across frames would be cheaper but
+is NOT the protocol the published numbers use — the eval re-seeds state
+per window — so the window ring is the faithful serving mode.
 
 Requests are served from a single device worker thread (JAX computations
 are enqueued; the HTTP layer is ThreadingHTTPServer).  Frames are resized
@@ -20,31 +35,49 @@ from __future__ import annotations
 import io
 import json
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
 from cp360_tpu.config import Config
 
+MAX_SESSIONS = 64
+
 
 class SaliencyModel:
-    """Holds params + the compiled stage-1 step; thread-safe predict()."""
+    """Holds params + the compiled stage-1 step (and optionally the
+    ConvLSTM + streaming sessions); thread-safe predict()/temporal_*()."""
 
-    def __init__(self, params: dict, cfg: Config, arch: str = "resnet50"):
+    def __init__(self, params: dict, cfg: Config, arch: str = "resnet50",
+                 clstm_params: dict | None = None):
         import jax.numpy as jnp
 
         self.params = params
         self.cfg = cfg
         self.arch = arch
+        self.clstm_params = clstm_params
         self._jnp = jnp
         self._lock = threading.Lock()
+        self._sessions: dict = {}  # id -> list of device [6, h, w, C] cubes
 
     def warmup(self) -> None:
         dummy = np.zeros((self.cfg.equi_w, self.cfg.equi_h, 3), np.uint8)
         self.predict(dummy)
+        if self.clstm_params is not None:
+            sid = self.temporal_start()
+            for _ in range(self.cfg.seq_len):
+                self.temporal_push(sid, dummy)
+            self.temporal_close(sid)
 
-    def predict(self, frame_u8: np.ndarray) -> np.ndarray:
-        """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32)."""
+    def _compute_dtype(self):
+        jnp = self._jnp
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def _stage1(self, frame_u8: np.ndarray):
+        """Resize + remap + fused stage-1 step.  Returns (scores [6,h,w,C]
+        device, sal [2h,4w] device)."""
         from PIL import Image
 
         from cp360_tpu.pipelines.extract import host_equi_to_cube_u8, stage1_batch_faces
@@ -55,14 +88,65 @@ class SaliencyModel:
             wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
         )
         faces = host_equi_to_cube_u8(np.asarray(img, np.uint8), self.cfg.cube_dim)
+        scores, sal = stage1_batch_faces(
+            self.params, jnp.asarray(faces[None]), arch=self.arch,
+            use_cube_pad=self.cfg.cube_pad, compute_dtype=self._compute_dtype(),
+        )
+        return scores[0], sal[0]
+
+    def predict(self, frame_u8: np.ndarray) -> np.ndarray:
+        """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32)."""
         with self._lock:
-            _, sal = stage1_batch_faces(
-                self.params, jnp.asarray(faces[None]), arch=self.arch,
-                use_cube_pad=self.cfg.cube_pad,
-                compute_dtype=jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32,
+            _, sal = self._stage1(frame_u8)
+            return np.asarray(sal)
+
+    # ---- temporal streaming sessions ------------------------------------
+
+    def temporal_start(self) -> str:
+        if self.clstm_params is None:
+            raise LookupError("server started without a ConvLSTM (--clstm)")
+        with self._lock:
+            if len(self._sessions) >= MAX_SESSIONS:
+                raise OverflowError(f"too many sessions (max {MAX_SESSIONS})")
+            sid = uuid.uuid4().hex[:12]
+            self._sessions[sid] = {"frames": [], "count": 0}
+        return sid
+
+    def temporal_push(self, sid: str, frame_u8: np.ndarray):
+        """Push one frame into a session.
+
+        Returns (frame_index, saliency [2h,4w] | None): None while fewer
+        than seq_len frames are buffered; afterwards the prediction of the
+        window ending at this frame (identical to the offline pipeline's
+        prediction for that window).
+        """
+        from cp360_tpu.pipelines.temporal import window_infer
+
+        jnp = self._jnp
+        seq_len = self.cfg.seq_len
+        with self._lock:
+            if sid not in self._sessions:
+                raise KeyError(sid)
+            sess = self._sessions[sid]
+            scores, _ = self._stage1(frame_u8)
+            sess["frames"].append(scores)
+            sess["frames"] = sess["frames"][-seq_len:]
+            idx = sess["count"]
+            sess["count"] += 1
+            if len(sess["frames"]) < seq_len:
+                return idx, None
+            window = jnp.stack(sess["frames"])[None]  # [1, T, 6, h, w, C]
+            sal = window_infer(
+                self.clstm_params, window, use_cube_pad=self.cfg.cube_pad,
+                compute_dtype=self._compute_dtype(),
             )
-            out = np.asarray(sal[0])
-        return out
+            return idx, np.asarray(sal[0])
+
+    def temporal_close(self, sid: str) -> None:
+        with self._lock:
+            if sid not in self._sessions:
+                raise KeyError(sid)
+            del self._sessions[sid]
 
 
 def make_handler(model: SaliencyModel):
@@ -84,22 +168,59 @@ def make_handler(model: SaliencyModel):
                     "arch": model.arch,
                     "cube_dim": model.cfg.cube_dim,
                     "frame_hw": list(model.cfg.frame_hw),
+                    "temporal": model.clstm_params is not None,
+                    "seq_len": model.cfg.seq_len,
                 }
                 self._send(200, json.dumps(info).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 
+        def _read_frame(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(raw)).convert("RGB")
+            return np.asarray(img, np.uint8)
+
+        def _do_temporal(self, route: str):
+            qs = parse_qs(urlparse(self.path).query)
+            sid = qs.get("session", [None])[0]
+            try:
+                if route == "session":
+                    self._send(200, json.dumps({"session": model.temporal_start()}).encode())
+                elif route == "close":
+                    model.temporal_close(sid)
+                    self._send(200, b'{"closed": true}')
+                elif route == "frame":
+                    try:
+                        frame = self._read_frame()
+                    except Exception as e:
+                        self._send(400, json.dumps({"error": f"bad image: {e}"}).encode())
+                        return
+                    idx, sal = model.temporal_push(sid, frame)
+                    if sal is None:
+                        body = {"frame": idx, "pending": model.cfg.seq_len - idx - 1}
+                    else:
+                        body = {"frame": idx, "shape": list(sal.shape),
+                                "saliency": sal.tolist()}
+                    self._send(200, json.dumps(body).encode())
+                else:
+                    self._send(404, b'{"error": "not found"}')
+            except LookupError as e:  # unknown session / no ConvLSTM loaded
+                self._send(404, json.dumps({"error": str(e)}).encode())
+            except OverflowError as e:
+                self._send(429, json.dumps({"error": str(e)}).encode())
+
         def do_POST(self):
+            if self.path.startswith("/temporal/"):
+                self._do_temporal(urlparse(self.path).path.split("/")[2])
+                return
             if not self.path.startswith("/saliency"):
                 self._send(404, b'{"error": "not found"}')
                 return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                raw = self.rfile.read(length)
-                from PIL import Image
-
-                img = Image.open(io.BytesIO(raw)).convert("RGB")
-                frame = np.asarray(img, np.uint8)
+                frame = self._read_frame()
             except Exception as e:
                 self._send(400, json.dumps({"error": f"bad image: {e}"}).encode())
                 return

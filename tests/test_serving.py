@@ -81,3 +81,95 @@ def test_bad_image_400(server):
 def test_unknown_route_404(server):
     status, _, _ = _post(server, "/nope", b"")
     assert status == 404
+
+
+# ---- temporal streaming sessions ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def temporal_server():
+    from cp360_tpu.models.clstm import init_clstm_params
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=3,
+                 compute_dtype="float32")
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    model = SaliencyModel(params, cfg, arch="resnet18", clstm_params=clstm)
+    httpd = serve(model, host="127.0.0.1", port=0, warmup=True)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield port, model
+    httpd.shutdown()
+
+
+def _frames(n, seed=3):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        img = Image.fromarray((rng.rand(100, 200, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")  # lossless so the equivalence check below is exact
+        out.append((np.asarray(img, np.uint8), buf.getvalue()))
+    return out
+
+
+def test_temporal_streaming_session(temporal_server):
+    port, model = temporal_server
+    status, _, data = _post(port, "/temporal/session", b"")
+    assert status == 200
+    sid = json.loads(data)["session"]
+
+    frames = _frames(4)
+    preds = {}
+    for i, (_, fb) in enumerate(frames):
+        status, _, data = _post(port, f"/temporal/frame?session={sid}", fb)
+        assert status == 200
+        out = json.loads(data)
+        assert out["frame"] == i
+        if i < 2:  # seq_len=3: first two frames buffer
+            assert out["pending"] == 2 - i and "saliency" not in out
+        else:
+            preds[i] = np.asarray(out["saliency"])
+            assert preds[i].shape == (4, 8) and np.isfinite(preds[i]).all()
+
+    # equivalence with the offline window protocol: prediction for frame i
+    # == window_infer over the stage-1 cubes of frames [i-2 .. i]
+    import jax.numpy as jnp
+
+    from cp360_tpu.pipelines.temporal import window_infer
+
+    cubes = [model._stage1(arr)[0] for arr, _ in frames]
+    for i in (2, 3):
+        window = jnp.stack(cubes[i - 2:i + 1])[None]
+        want = np.asarray(window_infer(
+            model.clstm_params, window, compute_dtype=jnp.float32))[0]
+        np.testing.assert_allclose(preds[i], want, rtol=1e-6, atol=1e-6)
+
+    status, _, data = _post(port, f"/temporal/close?session={sid}", b"")
+    assert status == 200 and json.loads(data)["closed"]
+    # closed session is gone
+    status, _, _ = _post(port, f"/temporal/frame?session={sid}", frames[0][1])
+    assert status == 404
+
+
+def test_temporal_unknown_session_404(temporal_server):
+    port, _ = temporal_server
+    status, _, _ = _post(port, "/temporal/frame?session=nope", _frame_bytes())
+    assert status == 404
+    status, _, _ = _post(port, "/temporal/close?session=nope", b"")
+    assert status == 404
+
+
+def test_temporal_disabled_on_plain_server(server):
+    status, _, data = _post(server, "/temporal/session", b"")
+    assert status == 404
+    assert "ConvLSTM" in json.loads(data)["error"]
+
+
+def test_temporal_healthz(temporal_server):
+    port, _ = temporal_server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("GET", "/healthz")
+    info = json.loads(conn.getresponse().read())
+    assert info["temporal"] is True and info["seq_len"] == 3
