@@ -11,7 +11,7 @@ throw on an immutable namedtuple; here they work).  Usage:
 from __future__ import annotations
 
 import argparse
-import os
+
 
 import jax
 
@@ -60,14 +60,17 @@ def main(argv=None):
     params = None
     resume_state = None
     if args.resume:
-        state_path = os.path.join(checkpoint_dir(cfg), "train_state_latest.npz")
-        if os.path.exists(state_path):
-            resume_state = state_path  # exact resume: params + optimizer + step
+        from cp360_tpu.train.checkpoint import make_checkpointer
+
+        probe = make_checkpointer(cfg.checkpoint_backend, checkpoint_dir(cfg))
+        if probe.has_state():
+            resume_state = "latest"  # exact resume: params + optimizer + step
         else:
             ck = latest_checkpoint(checkpoint_dir(cfg))
             if ck:
                 print(f"resuming weights from {ck} (no full train state found)")
                 params = load_npz(ck)
+        probe.close()
     if params is None:
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
 

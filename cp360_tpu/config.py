@@ -75,6 +75,7 @@ class Config:
     extract_batch: int = 8  # frames per fused device step in extraction
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
     flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
+    checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)
 
     @property
     def frame_hw(self):

@@ -195,6 +195,11 @@ def train(
     batches; it is re-iterated each epoch.  Structured metrics go to
     ``metrics_jsonl`` (one JSON record per summary) and jax.profiler traces
     to ``cfg.profile_dir`` if set.
+
+    ``resume_state``: "latest" resumes the full train state from the
+    configured checkpoint backend (cfg.checkpoint_backend: npz | orbax —
+    the orbax backend saves asynchronously and restores sharded, see
+    cp360_tpu/train/checkpoint.py); an explicit .npz path loads that file.
     """
     from cp360_tpu.utils.logging import MetricLogger
     from cp360_tpu.utils.profiling import maybe_profile
@@ -215,13 +220,19 @@ def train(
     opt_state = optimizer.init(params)  # inherits the param shardings
     step_fn = make_train_step(cfg, optimizer)
 
+    from cp360_tpu.train.checkpoint import make_checkpointer
+
     ckdir = checkpoint_dir(cfg)
+    ck = make_checkpointer(cfg.checkpoint_backend, ckdir)
     it, start_epoch = 0, 0
-    if resume_state and os.path.exists(resume_state):
+    restored = None
+    if resume_state == "latest":
+        restored = ck.restore(params, opt_state)
+    elif resume_state and os.path.exists(resume_state):
+        restored = load_train_state(resume_state, params, opt_state)
+    if restored is not None:
         opt_template = opt_state
-        params, opt_state, it, start_epoch = load_train_state(
-            resume_state, params, opt_state
-        )
+        params, opt_state, it, start_epoch = restored
         params = place(params)
         if mesh is not None:  # restore each leaf onto its template's sharding
             opt_state = jax.tree.map(
@@ -229,7 +240,10 @@ def train(
                 if hasattr(t, "sharding") else v,
                 opt_template, opt_state,
             )
-        log_fn(f"resumed full train state from {resume_state} (iter {it}, epoch {start_epoch})")
+        log_fn(
+            f"resumed full train state from {ck.name if resume_state == 'latest' else resume_state}"
+            f" (iter {it}, epoch {start_epoch})"
+        )
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
     with logger, maybe_profile(cfg.profile_dir):
         for epoch in range(start_epoch, cfg.epochs):
@@ -270,14 +284,9 @@ def train(
                     save_checkpoint(
                         os.path.join(ckdir, checkpoint_name(epoch, it)), params
                     )
-                    save_train_state(
-                        os.path.join(ckdir, "train_state_latest.npz"),
-                        params, opt_state, it, epoch,
-                    )
+                    ck.save(params, opt_state, it, epoch)
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
-            save_train_state(
-                os.path.join(ckdir, "train_state_latest.npz"),
-                params, opt_state, it, epoch + 1,
-            )
+            ck.save(params, opt_state, it, epoch + 1)
+    ck.close()
     return params

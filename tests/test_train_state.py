@@ -127,3 +127,89 @@ def test_extract_resume_skips_existing(tmp_path):
     for f, t in mtimes.items():
         if f != "000004.npy":
             assert os.path.getmtime(os.path.join(out, "cube_feat", f)) == t
+
+
+# ---- checkpoint backends (npz | orbax) -------------------------------------
+
+
+def test_orbax_backend_roundtrip_exact(tmp_path):
+    """Async orbax save -> restore is exact (params + Adam moments +
+    counters), same contract as the npz backend."""
+    pytest.importorskip("orbax.checkpoint")
+    from cp360_tpu.train.checkpoint import make_checkpointer
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3)
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+    p = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    o = opt.init(p)
+    seq1, fl1 = _batch(0)
+    p, o, _ = step(p, o, seq1, fl1)
+
+    ck = make_checkpointer("orbax", str(tmp_path))
+    assert not ck.has_state()
+    ck.save(p, o, step=7, epoch=2)
+    ck.wait()
+    assert ck.has_state()
+
+    p_t = init_clstm_params(jax.random.PRNGKey(1), C, C)  # different values
+    o_t = opt.init(p_t)
+    p_r, o_r, it, ep = ck.restore(p_t, o_t)
+    assert (it, ep) == (7, 2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(p), jax.device_get(p_r),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(o), jax.device_get(o_r),
+    )
+    # re-saving the same step (epoch boundary on a save_freq multiple) works
+    ck.save(p_r, o_r, step=7, epoch=3)
+    ck.close()
+    ck2 = make_checkpointer("orbax", str(tmp_path))
+    assert ck2.restore(p_t, o_t)[3] == 3
+    ck2.close()
+
+
+def test_orbax_sharded_restore_on_mesh(tmp_path):
+    """Restore places each leaf directly onto its target NamedSharding."""
+    pytest.importorskip("orbax.checkpoint")
+    from cp360_tpu.parallel.mesh import clstm_param_sharding, make_mesh
+    from cp360_tpu.train.checkpoint import make_checkpointer
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3)
+    opt = make_optimizer(cfg)
+    p = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    o = opt.init(p)
+    ck = make_checkpointer("orbax", str(tmp_path))
+    ck.save(p, o, step=1, epoch=0)
+    ck.wait()
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    p_t = jax.device_put(p, clstm_param_sharding(mesh, p))
+    o_t = opt.init(p_t)
+    p_r, o_r, _, _ = ck.restore(p_t, o_t)
+    ck.close()
+    w = p_r["gates"]["w"]
+    assert w.sharding == p_t["gates"]["w"].sharding
+    assert len(w.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(p["gates"]["w"]))
+
+
+def test_npz_backend_same_contract(tmp_path):
+    from cp360_tpu.train.checkpoint import make_checkpointer
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3)
+    opt = make_optimizer(cfg)
+    p = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    o = opt.init(p)
+    ck = make_checkpointer("npz", str(tmp_path))
+    assert not ck.has_state()
+    ck.save(p, o, step=3, epoch=1)
+    assert ck.has_state()
+    p_r, o_r, it, ep = ck.restore(jax.device_get(p), jax.device_get(o))
+    assert (it, ep) == (3, 1)
+    np.testing.assert_array_equal(np.asarray(p["gates"]["w"]), p_r["gates"]["w"])
+    with pytest.raises(ValueError, match="unknown checkpoint_backend"):
+        make_checkpointer("flatbuffer", str(tmp_path))
