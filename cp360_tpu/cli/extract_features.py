@@ -59,8 +59,9 @@ def main(argv=None):
     cfg = config_from_args(args)
     if args.data_parallel:
         cfg = cfg.replace(mesh_data=args.data_parallel)
-    from cp360_tpu.parallel.mesh import mesh_from_config
+    from cp360_tpu.parallel.mesh import maybe_init_distributed, mesh_from_config
 
+    maybe_init_distributed()
     mesh = mesh_from_config(cfg)
     import dataclasses
 

@@ -51,8 +51,9 @@ def main(argv=None):
 
     if args.data_parallel:
         cfg = cfg.replace(mesh_data=args.data_parallel)
-    from cp360_tpu.parallel.mesh import clstm_param_sharding, mesh_from_config
+    from cp360_tpu.parallel.mesh import clstm_param_sharding, maybe_init_distributed, mesh_from_config
 
+    maybe_init_distributed()
     mesh = mesh_from_config(cfg)
     if mesh is not None and cfg.mesh_model > 1:
         import jax

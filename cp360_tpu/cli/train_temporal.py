@@ -53,8 +53,9 @@ def main(argv=None):
     # from config (tensor-parallel ConvLSTM channels).
     if args.data_parallel:
         cfg = cfg.replace(mesh_data=args.data_parallel)
-    from cp360_tpu.parallel.mesh import mesh_from_config
+    from cp360_tpu.parallel.mesh import maybe_init_distributed, mesh_from_config
 
+    maybe_init_distributed()
     mesh = mesh_from_config(cfg)
 
     params = None

@@ -16,6 +16,7 @@ needed at this model scale; ICI transport is XLA's problem.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -24,6 +25,43 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+
+
+def maybe_init_distributed(log_fn=print) -> bool:
+    """Env-gated multi-host (multi-process) initialization.
+
+    Set ``CP360_DIST=1`` plus coordination env vars
+    (``CP360_COORDINATOR`` host:port, ``CP360_NUM_PROCESSES``,
+    ``CP360_PROCESS_ID`` — or run under a launcher whose cluster JAX
+    auto-detects: SLURM, GKE, Cloud TPU pods) and every CLI joins the
+    global runtime before building its mesh: ``jax.devices()`` then spans
+    all hosts, so the same ``mesh_data``/``mesh_model`` config drives
+    DCN-spanning meshes with no further code.  Unset (the default), this is
+    a no-op and everything stays single-process.
+
+    Called once per process; subsequent calls are no-ops.
+    """
+    if os.environ.get("CP360_DIST", "").lower() not in ("1", "true"):
+        return False
+    if getattr(maybe_init_distributed, "_done", False):
+        return True
+    coord = os.environ.get("CP360_COORDINATOR")
+    nproc = os.environ.get("CP360_NUM_PROCESSES")
+    pid = os.environ.get("CP360_PROCESS_ID")
+    if coord or nproc or pid:  # explicit rendezvous; else launcher auto-detect
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None,
+        )
+    else:
+        jax.distributed.initialize()
+    maybe_init_distributed._done = True
+    log_fn(
+        f"jax.distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {len(jax.devices())} global devices"
+    )
+    return True
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1, devices: Optional[Sequence] = None) -> Mesh:

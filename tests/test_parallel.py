@@ -1,5 +1,7 @@
 """Multi-chip sharding on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -113,3 +115,39 @@ def test_infer_video_data_parallel_matches(tmp_path):
     assert sorted(got) == sorted(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=1e-5)
+
+
+def test_maybe_init_distributed_gated_off(monkeypatch):
+    """Without CP360_DIST the multi-host entry is a strict no-op (the CLIs
+    call it unconditionally before building their mesh)."""
+    from cp360_tpu.parallel.mesh import maybe_init_distributed
+
+    monkeypatch.delenv("CP360_DIST", raising=False)
+    assert maybe_init_distributed() is False
+    monkeypatch.setenv("CP360_DIST", "0")
+    assert maybe_init_distributed() is False
+
+
+def test_maybe_init_distributed_explicit_rendezvous():
+    """CP360_DIST=1 + explicit coordinator env joins the global runtime
+    (single-process rendezvous over localhost; subprocess so the global
+    distributed state doesn't leak into this suite)."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               CP360_DIST="1",
+               CP360_COORDINATOR="127.0.0.1:19873",
+               CP360_NUM_PROCESSES="1",
+               CP360_PROCESS_ID="0")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from cp360_tpu.parallel.mesh import maybe_init_distributed\n"
+        "assert maybe_init_distributed() is True\n"
+        "assert maybe_init_distributed() is True  # idempotent\n"
+        "assert jax.process_count() == 1\n"
+        "print('RENDEZVOUS_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], env=env, cwd="/root/repo",
+                         capture_output=True, text=True, timeout=180)
+    assert "RENDEZVOUS_OK" in out.stdout, out.stderr
