@@ -1,0 +1,79 @@
+"""Flow backend quality vs analytically-known motion (VERDICT r1 #5).
+
+The reference trains on DeepFlow (utils/optical_flow.py:24-29), which this
+OpenCV lacks.  These tests pin the *quantified* behaviour of the shipped
+substitutes against synthetic ground-truth motion — the full report (and
+the PARITY.md table) comes from ``tools/flow_backend_report.py``; here we
+assert the stable subset at width 240 so a regression in either backend or
+in the loss plumbing fails CI.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import flow_backend_report as fbr  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    return fbr.make_scenes(240)
+
+
+@pytest.fixture(scope="module")
+def flows(scenes):
+    out = {}
+    for name in ("farneback", "horn_schunck"):
+        out[name] = {
+            sname: fbr.backend_flow(name, f1, f2)
+            for sname, (f1, f2, gt) in scenes.items()
+        }
+    return out
+
+
+def epe(flow, gt):
+    ok = fbr.interior(*gt.shape[:2])
+    return float(np.linalg.norm(flow - gt, axis=-1)[ok].mean())
+
+
+def test_farneback_near_ground_truth(scenes, flows):
+    """Farneback (the reference's own in-source alternative) recovers the
+    synthetic fields to sub-pixel EPE on all three scene types."""
+    for sname, (_, _, gt) in scenes.items():
+        assert epe(flows["farneback"][sname], gt) < 0.25, sname
+
+
+def test_horn_schunck_usable(scenes, flows):
+    """The TPU Horn-Schunck is noisier but stays sub-pixel on average."""
+    for sname, (_, _, gt) in scenes.items():
+        assert epe(flows["horn_schunck"][sname], gt) < 0.9, sname
+
+
+@pytest.mark.parametrize("backend,min_tnr", [("farneback", 0.90), ("horn_schunck", 0.70)])
+def test_motion_mask_at_shipped_threshold(scenes, flows, backend, min_tnr):
+    """At the shipped mm_th=0.15 (config.yaml:41) both backends pass all
+    moving pixels and suppress most static ones on the moving-patch scene."""
+    _, _, gt = scenes["moving_patch"]
+    tpr, tnr, *_ = fbr.mask_metrics(flows[backend]["moving_patch"], gt)
+    assert tpr > 0.99, (backend, tpr)
+    assert tnr > min_tnr, (backend, tnr)
+
+
+def test_training_gradient_insensitive_to_backend(scenes, flows):
+    """The actual training signal — d(total_loss)/d(predictions) — is
+    near-identical whichever flow source feeds the losses (cos > 0.999 vs
+    ground-truth flow), i.e. the DeepFlow substitution does not bend the
+    optimization direction."""
+    _, _, gt = scenes["moving_patch"]
+    srcs = {n: flows[n]["moving_patch"] for n in flows}
+    srcs["ground_truth"] = gt
+    sens = fbr.loss_sensitivity(gt, srcs, flow_h=gt.shape[0])
+    g_ref = sens["ground_truth"]["grad"]
+    for name in ("farneback", "horn_schunck"):
+        g = sens[name]["grad"]
+        cos = float(g @ g_ref / (np.linalg.norm(g) * np.linalg.norm(g_ref)))
+        assert cos > 0.999, (name, cos)

@@ -1,0 +1,97 @@
+"""Stage-2 TRAINING throughput on the real chip.
+
+Measures the full jitted optimization step (normalize -> ConvLSTM rollout
+-> equi projection -> 3 weak-supervision losses -> grads -> Adam) at the
+production operating point ([6,1000,7,7] CAM windows, [480,960,2] flows,
+seq_len 5).  Batches are generated ON DEVICE with per-step keys: training
+data normally arrives over PCIe from the host loader, but this host's TPU
+tunnel runs ~40 MB/s with content dedup (CLAUDE.md), so feeding distinct
+73 MB flow batches through it would measure the tunnel, not the step.  The
+loss chains through a lazy device accumulator exactly like train/loop.py —
+nothing syncs per step.
+
+Writes BENCH_TRAIN.json and prints one JSON line:
+  {"metric": "train_windows_per_s", "value": ..., "vs_baseline": ...}
+vs_baseline = speedup over the reference driver's measured torch-CPU
+steps/s x its batch of 1 (BENCH_TRAIN_BASELINE.json).
+
+Usage: python tools/bench_train.py [batch=4] [n_steps=8]
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.train.loop import make_optimizer, make_train_step
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    cfg = Config()
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+
+    @partial(jax.jit, static_argnames=("b",))
+    def make_batch(key, b):
+        k1, k2 = jax.random.split(key)
+        seq = jax.random.uniform(k1, (b, cfg.seq_len, 6, 7, 7, 1000), jnp.float32)
+        flows = jax.random.normal(k2, (b, cfg.seq_len, cfg.flow_h, cfg.flow_h * 2, 2), jnp.float32)
+        return seq, flows
+
+    params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile (both graphs)
+    seq, flows = make_batch(jax.random.fold_in(key, 999), batch)
+    params, opt_state, m = step(params, opt_state, seq, flows)
+    running = m["loss"]
+    float(running)
+
+    t0 = time.time()
+    running = jnp.zeros((), jnp.float32)
+    for i in range(n_steps):
+        seq, flows = make_batch(jax.random.fold_in(key, i), batch)
+        params, opt_state, m = step(params, opt_state, seq, flows)
+        running = running + m["loss"]
+    assert np.isfinite(float(running))  # one sync, after all steps
+    dt = time.time() - t0
+
+    windows_per_s = batch * n_steps / dt
+    base_path = os.path.join(REPO, "BENCH_TRAIN_BASELINE.json")
+    vs = None
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs = windows_per_s / base["torch_cpu_steps_per_s"]  # reference batch=1
+
+    out = {
+        "metric": "train_windows_per_s",
+        "value": round(windows_per_s, 3),
+        "unit": "windows/s",
+        "batch": batch,
+        "steps": n_steps,
+        "s_per_step": round(dt / n_steps, 5),
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }
+    with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,11 @@ REF = "/root/reference"
 def install_shims():
     np.int = int
     np.float = float
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    tv = types.ModuleType("torchvision")
+    tv.__path__ = []  # mark as package so `import torchvision.transforms` works
+    tv.transforms = types.ModuleType("torchvision.transforms")
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.transforms", tv.transforms)
 
     if "ruamel_yaml" not in sys.modules:
         import yaml as _pyyaml
