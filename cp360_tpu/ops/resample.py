@@ -227,6 +227,59 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
     return out
 
 
+def warp_upsampled(p_lo: jax.Array, grid: jax.Array) -> jax.Array:
+    """``grid_sample(resize_bilinear(p_lo[..., None], H, W), grid)[..., 0]``
+    evaluated WITHOUT the upsample or the gather.
+
+    The training smooth loss warps an align-corners bilinear upsample of the
+    tiny prediction map by the flow grid (train_temporal.py:132-143).  A
+    22M-point 4-corner gather is pathological on TPU (~230 ms/step measured,
+    65% of the whole optimization step), but the sampled image is
+    ``U = Ry @ p @ Rx^T`` and the resize matrices are analytic hats
+    (``Ry[r, a] = max(0, 1 - |r*s - a|)``, s = (ph-1)/(H-1)), so the sample
+    at continuous position (gy, gx) collapses to a bilinear form with the
+    low-res map itself:
+
+        warp[pix] = d[pix, :] @ p @ e[pix, :]^T
+        d[pix, a] = (1-fy) Ry[y0, a] + fy Ry[y0+1, a]   (evaluated, not read)
+        e[pix, b] = (1-fx) Rx[x0, b] + fx Rx[x0+1, b]
+
+    Pure VPU arithmetic + one [HW, pw] x [pw, ph] matmul per image — no
+    gather, no [HW, H]-sized one-hot operands.  Exact same zero-padding
+    semantics as :func:`grid_sample` (out-of-range fine rows/cols masked).
+
+    Args:
+      p_lo: [N, ph, pw] low-res maps.
+      grid: [N, H, W, 2] in [-1, 1], align-corners (as for grid_sample).
+
+    Returns [N, H, W].
+    """
+    n, ph, pw = p_lo.shape
+    out_h, out_w = grid.shape[1], grid.shape[2]
+    gx = (grid[..., 0] + 1.0) * 0.5 * (out_w - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (out_h - 1)
+
+    def axis_weights(g, n_fine, n_coarse):
+        scale = (n_coarse - 1.0) / (n_fine - 1.0)
+        ar = jnp.arange(n_coarse, dtype=g.dtype)
+        g0 = jnp.floor(g)
+        f = g - g0
+
+        def row_of_resize_matrix(yi):
+            inb = (yi >= 0) & (yi <= n_fine - 1)
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(yi[..., None] * scale - ar))
+            return w * inb[..., None].astype(g.dtype)
+
+        return ((1.0 - f)[..., None] * row_of_resize_matrix(g0)
+                + f[..., None] * row_of_resize_matrix(g0 + 1.0))
+
+    d = axis_weights(gy, out_h, ph)  # [N, H, W, ph]
+    e = axis_weights(gx, out_w, pw)  # [N, H, W, pw]
+    b = jnp.einsum("nhwb,nab->nhwa", e, p_lo,
+                   preferred_element_type=jnp.float32)
+    return jnp.sum(d * b, axis=-1)
+
+
 @lru_cache(maxsize=32)
 def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     """1-D align-corners bilinear interpolation matrix [n_out, n_in]."""

@@ -29,7 +29,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from cp360_tpu.ops.resample import grid_sample, resize_bilinear
+from cp360_tpu.ops.resample import resize_bilinear, warp_upsampled
 
 
 def flow_warp_grid(flow: jax.Array) -> jax.Array:
@@ -73,14 +73,15 @@ def weak_supervision_losses(
     fscale = flow_h / float(fw)  # reference train_temporal.py:110
     f = flows * fscale
 
-    cur = preds[:-1].reshape(p * b, *preds.shape[2:])[..., None]
-    nxt = preds[1:].reshape(p * b, *preds.shape[2:])[..., None]
-    cur = resize_bilinear(cur, fh, fw)  # torch-0.3 upsample semantics
-    nxt = resize_bilinear(nxt, fh, fw)
+    cur_lo = preds[:-1].reshape(p * b, *preds.shape[2:])
+    cur = resize_bilinear(cur_lo[..., None], fh, fw)  # torch-0.3 upsample
+    nxt = resize_bilinear(preds[1:].reshape(p * b, *preds.shape[2:])[..., None], fh, fw)
 
     f2 = f.reshape(p * b, fh, fw, 2)
     grid = flow_warp_grid(f2)
-    warp = grid_sample(cur, grid)
+    # == grid_sample(cur, grid) exactly, but gather-free (TPU: the 4-corner
+    # gather at flow resolution was 65% of the whole train step).
+    warp = warp_upsampled(cur_lo, grid)[..., None]
 
     mag = jnp.sqrt(f2[..., 0] ** 2 + f2[..., 1] ** 2)
     static = (mag < mm_th)[..., None]

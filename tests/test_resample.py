@@ -106,3 +106,37 @@ def test_equi_cube_roundtrip_psnr():
     # ~23.6 dB at 32px faces: bounded below by the reference's intentional
     # +1-pixel equi2cube offset (see build_equi2cube_maps), kept for parity.
     assert psnr > 20, psnr
+
+
+def test_warp_upsampled_equals_gather_composition():
+    """warp_upsampled == grid_sample(resize_bilinear(p), grid) exactly (the
+    gather-free training warp; grids include out-of-range samples to pin the
+    zero-padding semantics)."""
+    import jax.numpy as jnp
+
+    from cp360_tpu.ops.resample import grid_sample, resize_bilinear, warp_upsampled
+
+    rng = np.random.RandomState(7)
+    p_lo = jnp.asarray(rng.rand(3, 14, 28).astype(np.float32))
+    grid = jnp.asarray((rng.rand(3, 96, 192, 2) * 2.4 - 1.2).astype(np.float32))
+    want = grid_sample(resize_bilinear(p_lo[..., None], 96, 192), grid)[..., 0]
+    got = warp_upsampled(p_lo, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_warp_upsampled_integer_grid_is_identity():
+    """Zero flow (the identity grid) reproduces the upsampled map."""
+    import jax.numpy as jnp
+
+    from cp360_tpu.ops.resample import resize_bilinear, warp_upsampled
+
+    rng = np.random.RandomState(8)
+    p_lo = jnp.asarray(rng.rand(2, 7, 9).astype(np.float32))
+    h, w = 40, 80
+    ys = np.linspace(-1, 1, h, dtype=np.float32)
+    xs = np.linspace(-1, 1, w, dtype=np.float32)
+    gy, gx = np.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.asarray(np.broadcast_to(np.stack([gx, gy], -1), (2, h, w, 2)))
+    want = resize_bilinear(p_lo[..., None], h, w)[..., 0]
+    got = warp_upsampled(p_lo, grid)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
