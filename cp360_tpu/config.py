@@ -76,6 +76,7 @@ class Config:
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
     flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
     checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)
+    clstm_conv_impl: str = "xla"  # 'xla' | 'pallas' (fused cube-pad+conv kernel)
 
     @property
     def frame_hw(self):

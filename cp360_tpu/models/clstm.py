@@ -47,28 +47,56 @@ def _pad6(x: jax.Array, use_cube_pad: bool) -> jax.Array:
     return x6.reshape(-1, *x6.shape[2:])
 
 
+def _conv(params: dict, x: jax.Array, use_cube_pad: bool, compute_dtype,
+          conv_impl: str) -> jax.Array:
+    """One cube-padded 3x3 conv on face-flattened [B*6, H, W, C] input.
+
+    conv_impl "xla": materialized cube pad + lax conv (the default).
+    conv_impl "pallas": the fused pad+conv kernel
+    (ops/pallas_kernels.cube_conv3x3_train, custom VJP) — the padded
+    intermediate never exists.  Falls back to interpret mode off-TPU so the
+    gate stays testable on the CPU mesh.
+    """
+    if conv_impl == "pallas" and use_cube_pad and x.shape[1] == x.shape[2]:
+        from cp360_tpu.ops.pallas_kernels import cube_conv3x3_train
+
+        w, b = params["w"], params["b"]
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+            w = w.astype(compute_dtype)
+            b = b.astype(compute_dtype)
+        x6 = x.reshape(-1, 6, *x.shape[1:])
+        interpret = jax.default_backend() != "tpu"
+        out = cube_conv3x3_train(x6, w, b, interpret)
+        return out.reshape(-1, *out.shape[2:])
+    return layers.conv2d(_pad6(x, use_cube_pad), params["w"], params["b"],
+                         compute_dtype=compute_dtype)
+
+
 def clstm_step(
     params: dict,
     x: jax.Array,
     state: Tuple[jax.Array, jax.Array],
     use_cube_pad: bool = True,
     compute_dtype=jnp.float32,
+    conv_impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """One ConvLSTM step.
 
     Args:
       x: [B*6, H, W, Cin] input cube faces (face-flattened batch).
       state: (hidden, cell), each [B*6, H, W, Ch].
+      conv_impl: "xla" | "pallas" (config ``clstm_conv_impl``) — see _conv.
 
     Returns new (hidden, cell).
     """
     h, c = state
     z = jnp.concatenate([x, h], axis=-1)
-    out = layers.conv2d(_pad6(z, use_cube_pad), params["conv1"]["w"], params["conv1"]["b"], compute_dtype=compute_dtype)
+    out = _conv(params["conv1"], z, use_cube_pad, compute_dtype, conv_impl)
     out = jax.nn.relu(out)
-    out = layers.conv2d(_pad6(out, use_cube_pad), params["conv2"]["w"], params["conv2"]["b"], compute_dtype=compute_dtype)
+    out = _conv(params["conv2"], out, use_cube_pad, compute_dtype, conv_impl)
     out = jax.nn.relu(out)
-    gates = layers.conv2d(_pad6(out, use_cube_pad), params["gates"]["w"], params["gates"]["b"], compute_dtype=compute_dtype)
+    gates = _conv(params["gates"], out, use_cube_pad, compute_dtype, conv_impl)
 
     i_g, f_g, o_g, c_g = jnp.split(gates, 4, axis=-1)
     i_g = jax.nn.sigmoid(i_g)
@@ -81,7 +109,7 @@ def clstm_step(
     return hidden, cell
 
 
-@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype", "remat"))
+@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype", "remat", "conv_impl"))
 def clstm_rollout(
     params: dict,
     seq: jax.Array,
@@ -90,6 +118,7 @@ def clstm_rollout(
     use_cube_pad: bool = True,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    conv_impl: str = "xla",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Scan the cell over time.
 
@@ -105,7 +134,7 @@ def clstm_rollout(
     """
 
     def step(carry, x):
-        h, c = clstm_step(params, x, carry, use_cube_pad, compute_dtype)
+        h, c = clstm_step(params, x, carry, use_cube_pad, compute_dtype, conv_impl)
         return (h, c), h
 
     if remat:

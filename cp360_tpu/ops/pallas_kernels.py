@@ -22,12 +22,22 @@ Zero gathers, zero HBM round-trips for the padded tensor, all FLOPs on the
 MXU.  Inference-path only (the training step keeps the autodiff-friendly
 XLA formulation); parity is tested against the gather-based reference path.
 
-Measured on one v5e at the production shape ([32, 6, 7, 7, 4000] -> 4000,
-bf16): XLA's pad + conv runs at ~150 TFLOP/s (76% of peak) and this
-kernel at ~121 TFLOP/s — XLA's convolution is already near-optimal here, so
-the fused kernel stays OFF the default path.  It exists as the measured
-alternative (and wins where the padded-intermediate HBM round-trip matters,
-e.g. larger spatial extents at low arithmetic intensity).
+Measured on one v5e (round 2, chained-dependency timing — block_until_ready
+lies through this host's transfer tunnel, see CLAUDE.md / tools/bench_pallas.py):
+
+- A *standalone-jitted* XLA cube-pad+conv is pathological on this libtpu:
+  4.3 s for the 677-GFLOP [16,6,7,7,2000]->4000 conv (0.16 TF/s).  This
+  kernel does the same op in 27 ms — ~160x faster standalone.
+- *In-graph* (inside the jitted train-step scan) XLA's convs run at
+  ~105 TF/s effective, which beats this kernel's measured 25-46 TF/s, so
+  the ConvLSTM keeps ``clstm_conv_impl: xla`` by default; the gate swaps
+  in this kernel (with its custom VJP) per config.
+- Schedule space on this toolchain is hard-walled: any x-block lane width
+  above 128 (ci_tile 256/512, with or without a raised scoped-VMEM limit,
+  2-D or 3-D operands, single or split dots) runs ~150x slow, and
+  accumulators beyond ~11 MB force HBM spills.  ci_tile=128 bounds
+  arithmetic intensity at ~32 FLOP per accumulator byte, which is exactly
+  the ~25-46 TF/s observed.  The numbers table lives in PARITY.md.
 """
 
 from __future__ import annotations
@@ -65,6 +75,18 @@ def build_gather_matrix(h: int, w: int) -> np.ndarray:
     rows = 6 * h * w
     a = build_selection_matrix(h, w).reshape(9, rows, rows)
     return np.ascontiguousarray(np.transpose(a, (1, 0, 2)).reshape(rows, 9 * rows))
+
+
+@lru_cache(maxsize=8)
+def build_scatter_matrix(h: int, w: int) -> np.ndarray:
+    """B2 [6hw, 9 * 6hw]: the *transposed* selection, for the input gradient.
+
+    dx[q] = sum_{k,p} A_k[p, q] (dy @ W_k^T)[p]  —  so B2[q, k*rows + p] =
+    A_k[p, q] and the backward pass is the SAME kernel with (A2 -> B2,
+    W_k -> W_k^T, x -> dy)."""
+    rows = 6 * h * w
+    a = build_selection_matrix(h, w).reshape(9, rows, rows)
+    return np.ascontiguousarray(np.transpose(a, (2, 0, 1)).reshape(rows, 9 * rows))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -108,42 +130,38 @@ def _kernel(a2_ref, x_ref, w_ref, b_ref, o_ref, acc_ref):
             o_ref[n] = (y[:, n * co_t : (n + 1) * co_t] + bias).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("ci_tile", "co_tile", "block_n", "interpret"))
-def cube_conv3x3(
-    x: jax.Array,
-    w: jax.Array,
+def _conv_core(
+    x2: jax.Array,
+    w2: jax.Array,
     b: jax.Array,
-    ci_tile: int = 512,
-    co_tile: int = 128,
-    block_n: int = 4,
-    interpret: bool = False,
+    sel: np.ndarray,
+    ci_tile: int,
+    co_tile: int,
+    block_n: int,
+    interpret: bool,
 ) -> jax.Array:
-    """Cube-padded 3x3 VALID conv on cube feature maps, fused in VMEM.
+    """Shared executor: x2 [N, rows, Cin] x w2 [9, Cin, Cout] under the
+    selection matrix ``sel`` [rows, 9*rows] -> [N, rows, Cout].
 
-    Args:
-      x: [N, 6, h, w, Cin] cube features (bf16 or f32), h == w (small).
-      w: [3, 3, Cin, Cout] HWIO kernel.
-      b: [Cout] bias.
-
-    Returns [N, 6, h, w, Cout] with f32 accumulation, cast to x.dtype.
+    Forward passes A2 (gather form); the input-gradient pass reuses this
+    with B2 (scatter form) and tap-transposed weights — the two directions
+    are the same program on different constant operands.
     """
-    n, six, h, ww, cin = x.shape
-    assert six == 6 and h == ww
-    cout = w.shape[-1]
-    rows = 6 * h * ww
+    n, rows, cin = x2.shape
+    cout = w2.shape[-1]
 
     # Selection operand in the input dtype: exact for a 0/1 matrix; on the
     # bf16 path this keeps the MXU at full rate (f32 matmuls cost ~8x) at
     # the price of one bf16 rounding of the 9 tap sums.
-    a2 = jnp.asarray(build_gather_matrix(h, ww), x.dtype)
+    a2 = jnp.asarray(sel, x2.dtype)
 
+    ci_tile = min(ci_tile, _round_up(cin, 128))
+    co_tile = min(co_tile, _round_up(cout, 128))
     cin_p = _round_up(cin, ci_tile)
     cout_p = _round_up(cout, co_tile)
     n_p = _round_up(n, block_n)
-    x2 = x.reshape(n, rows, cin)
     if cin_p != cin or n_p != n:
         x2 = jnp.pad(x2, ((0, n_p - n), (0, 0), (0, cin_p - cin)))
-    w2 = w.reshape(9, cin, cout)
     if cin_p != cin or cout_p != cout:
         w2 = jnp.pad(w2, ((0, 0), (0, cin_p - cin), (0, cout_p - cout)))
     b2 = b
@@ -165,12 +183,100 @@ def cube_conv3x3(
         out_specs=pl.BlockSpec(
             (block_n, rows, co_tile), lambda ni, co, ci: (ni, 0, co), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_p, rows, cout_p), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_p, rows, cout_p), x2.dtype),
         scratch_shapes=[pltpu.VMEM((9 * rows, block_n * co_tile), jnp.float32)],
+        # The default schedule needs ~19 MB scoped VMEM (10 MB f32
+        # accumulator + multi-buffered operands); raise XLA's default 16 MB
+        # scoped limit.  NOTE: the limit only permits compilation — blocks
+        # that exceed physical VMEM spill and run ~150x slow (measured), so
+        # schedules are chosen to fit (see module docstring).
+        compiler_params=None if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(a2, x2, w2, b2)
 
-    return out[:n, :, :cout].reshape(n, 6, h, ww, cout)
+    return out[:n, :, :cout]
+
+
+@partial(jax.jit, static_argnames=("ci_tile", "co_tile", "block_n", "interpret"))
+def cube_conv3x3(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array,
+    ci_tile: int = 128,
+    co_tile: int = 128,
+    block_n: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cube-padded 3x3 VALID conv on cube feature maps, fused in VMEM.
+
+    Args:
+      x: [N, 6, h, w, Cin] cube features (bf16 or f32), h == w (small).
+      w: [3, 3, Cin, Cout] HWIO kernel.
+      b: [Cout] bias.
+
+    Returns [N, 6, h, w, Cout] with f32 accumulation, cast to x.dtype.
+
+    Default schedule (block_n=8, ci_tile=128): the W stream dominates HBM
+    traffic (full W must be seen once per sample block), so 8-sample blocks
+    halve W traffic vs block_n=4; ci_tile=128 keeps the f32 accumulator
+    (9*rows x 8*co_tile = 10.3 MB) + double-buffered operands inside the
+    ~16 MB VMEM.
+    """
+    n, six, h, ww, cin = x.shape
+    assert six == 6 and h == ww
+    cout = w.shape[-1]
+    rows = 6 * h * ww
+    x2 = x.reshape(n, rows, cin)
+    w2 = w.reshape(9, cin, cout)
+    out = _conv_core(x2, w2, b, build_gather_matrix(h, ww),
+                     ci_tile, co_tile, block_n, interpret)
+    return out.reshape(n, 6, h, ww, cout)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def cube_conv3x3_train(x: jax.Array, w: jax.Array, b: jax.Array,
+                       interpret: bool = False) -> jax.Array:
+    """Differentiable :func:`cube_conv3x3` (training path).
+
+    Forward and input-gradient both run the fused Pallas kernel (the input
+    gradient is the same program with the scatter-form selection matrix and
+    tap-transposed weights); the weight/bias gradients contract over
+    (samples x positions) via XLA einsums on the selection-expanded input —
+    an MXU-shaped reduction XLA already schedules well.
+    """
+    return cube_conv3x3(x, w, b, interpret=interpret)
+
+
+def _cc_fwd(x, w, b, interpret):
+    return cube_conv3x3(x, w, b, interpret=interpret), (x, w)
+
+
+def _cc_bwd(interpret, res, dy):
+    x, w = res
+    n, six, h, ww, cin = x.shape
+    cout = w.shape[-1]
+    rows = 6 * h * ww
+    dy2 = dy.reshape(n, rows, cout)
+
+    # dx: same kernel, scatter selection, W_k -> W_k^T.
+    wt = jnp.transpose(w.reshape(9, cin, cout), (0, 2, 1))  # [9, Cout, Cin]
+    dx = _conv_core(dy2, wt, jnp.zeros((cin,), dy.dtype),
+                    build_scatter_matrix(h, ww), 128, 128, 8, interpret)
+    dx = dx.reshape(x.shape).astype(x.dtype)
+
+    # dw[k] = sum_n (A_k x[n])^T dy[n]; db = sum dy.
+    a = jnp.asarray(build_selection_matrix(h, ww), x.dtype)  # [9*rows, rows]
+    x2 = x.reshape(n, rows, cin)
+    xs = jnp.einsum("kq,nqc->nkc", a, x2).reshape(n, 9, rows, cin)
+    dw = jnp.einsum("nkpc,npo->kco", xs, dy2,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(3, 3, cin, cout).astype(w.dtype)
+    db = jnp.sum(dy2, axis=(0, 1), dtype=jnp.float32).astype(w.dtype)
+    return dx, dw, db
+
+
+cube_conv3x3_train.defvjp(_cc_fwd, _cc_bwd)
 
 
 def cube_conv3x3_reference(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:

@@ -31,12 +31,13 @@ from cp360_tpu.models.clstm import clstm_rollout
 from cp360_tpu.ops.resample import cube_to_equi
 
 
-@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype"))
+@partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype", "conv_impl"))
 def window_infer(
     params: dict,
     windows: jax.Array,
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Batched window inference.
 
@@ -59,7 +60,8 @@ def window_infer(
     x = jnp.moveaxis(norm, 1, 0).reshape(t, b * 6, *windows.shape[3:])
     h0 = c0 = x[0]
     _, h_final, _ = clstm_rollout(
-        params, x, h0, c0, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+        params, x, h0, c0, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
+        conv_impl=conv_impl,
     )
 
     cubes = h_final.reshape(b, 6, *h_final.shape[1:])

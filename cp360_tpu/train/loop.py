@@ -88,7 +88,7 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         h0 = c0 = x[0]
         hiddens, _, _ = clstm_rollout(
             params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, conv_impl=cfg.clstm_conv_impl,
         )
 
         preds = predictions_from_hiddens(hiddens, b)  # [K+1, B, 2w, 4w]

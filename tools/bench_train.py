@@ -15,7 +15,10 @@ Writes BENCH_TRAIN.json and prints one JSON line:
 vs_baseline = speedup over the reference driver's measured torch-CPU
 steps/s x its batch of 1 (BENCH_TRAIN_BASELINE.json).
 
-Usage: python tools/bench_train.py [batch=4] [n_steps=8]
+Usage: python tools/bench_train.py [batch=4] [n_steps=8] [conv_impl=xla]
+(conv_impl "pallas" swaps the ConvLSTM convs to the fused Pallas kernel —
+config ``clstm_conv_impl`` — for an end-to-end comparison; the JSON is only
+written for the default xla path so the bench of record stays stable.)
 """
 
 import json
@@ -40,8 +43,9 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    conv_impl = sys.argv[3] if len(sys.argv) > 3 else "xla"
 
-    cfg = Config()
+    cfg = Config(clstm_conv_impl=conv_impl)
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, opt)
 
@@ -88,8 +92,11 @@ def main():
         "s_per_step": round(dt / n_steps, 5),
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
-    with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    if conv_impl != "xla":
+        out["conv_impl"] = conv_impl
+    else:
+        with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out))
 
 
