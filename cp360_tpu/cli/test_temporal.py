@@ -74,6 +74,7 @@ def main(argv=None):
         preds = infer_video(
             params, feat_dir, cfg.seq_len,
             batch_windows=args.batch_windows, use_cube_pad=cfg.cube_pad,
+            conv_impl=cfg.clstm_conv_impl,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
             mesh=mesh,
         )

@@ -248,6 +248,10 @@ def warp_upsampled(p_lo: jax.Array, grid: jax.Array) -> jax.Array:
     gather, no [HW, H]-sized one-hot operands.  Exact same zero-padding
     semantics as :func:`grid_sample` (out-of-range fine rows/cols masked).
 
+    Layout note: the weight/product axis (ph/pw, 14/28 at the shipped
+    operating point) leads and the pixel grid stays trailing — putting a
+    14-wide axis in the 128-lane position pads 9x and measured 8x slower.
+
     Args:
       p_lo: [N, ph, pw] low-res maps.
       grid: [N, H, W, 2] in [-1, 1], align-corners (as for grid_sample).
@@ -256,28 +260,28 @@ def warp_upsampled(p_lo: jax.Array, grid: jax.Array) -> jax.Array:
     """
     n, ph, pw = p_lo.shape
     out_h, out_w = grid.shape[1], grid.shape[2]
-    gx = (grid[..., 0] + 1.0) * 0.5 * (out_w - 1)
+    gx = (grid[..., 0] + 1.0) * 0.5 * (out_w - 1)  # [N, H, W]
     gy = (grid[..., 1] + 1.0) * 0.5 * (out_h - 1)
 
     def axis_weights(g, n_fine, n_coarse):
         scale = (n_coarse - 1.0) / (n_fine - 1.0)
-        ar = jnp.arange(n_coarse, dtype=g.dtype)
+        ar = jnp.arange(n_coarse, dtype=g.dtype)[None, :, None, None]
         g0 = jnp.floor(g)
         f = g - g0
 
         def row_of_resize_matrix(yi):
             inb = (yi >= 0) & (yi <= n_fine - 1)
-            w = jnp.maximum(0.0, 1.0 - jnp.abs(yi[..., None] * scale - ar))
-            return w * inb[..., None].astype(g.dtype)
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(yi[:, None] * scale - ar))
+            return w * inb[:, None].astype(g.dtype)
 
-        return ((1.0 - f)[..., None] * row_of_resize_matrix(g0)
-                + f[..., None] * row_of_resize_matrix(g0 + 1.0))
+        return ((1.0 - f)[:, None] * row_of_resize_matrix(g0)
+                + f[:, None] * row_of_resize_matrix(g0 + 1.0))
 
-    d = axis_weights(gy, out_h, ph)  # [N, H, W, ph]
-    e = axis_weights(gx, out_w, pw)  # [N, H, W, pw]
-    b = jnp.einsum("nhwb,nab->nhwa", e, p_lo,
+    d = axis_weights(gy, out_h, ph)  # [N, ph, H, W]
+    e = axis_weights(gx, out_w, pw)  # [N, pw, H, W]
+    b = jnp.einsum("nbhw,nab->nahw", e, p_lo,
                    preferred_element_type=jnp.float32)
-    return jnp.sum(d * b, axis=-1)
+    return jnp.sum(d * b, axis=1)
 
 
 @lru_cache(maxsize=32)

@@ -69,7 +69,7 @@ def window_infer(
     return jnp.max(equi, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("seq_len", "use_cube_pad", "compute_dtype"))
+@partial(jax.jit, static_argnames=("seq_len", "use_cube_pad", "compute_dtype", "conv_impl"))
 def window_infer_from_frames(
     params: dict,
     frames: jax.Array,
@@ -77,6 +77,7 @@ def window_infer_from_frames(
     seq_len: int = 5,
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
+    conv_impl: str = "xla",
 ) -> jax.Array:
     """Window inference with on-device window assembly.
 
@@ -96,7 +97,8 @@ def window_infer_from_frames(
     idx = positions[:, None] + jnp.arange(seq_len)[None, :]  # [B, T]
     windows = frames[idx]  # gather -> [B, T, 6, h, w, C]
     return window_infer(
-        params, windows, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+        params, windows, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
+        conv_impl=conv_impl,
     )
 
 
@@ -120,6 +122,7 @@ def infer_video(
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
     mesh=None,
+    conv_impl: str = "xla",
 ) -> Dict[int, np.ndarray]:
     """All window predictions for one video.
 
@@ -179,7 +182,7 @@ def infer_video(
             window_infer_from_frames(
                 params, frames_dev, pos_dev,
                 seq_len=seq_len, use_cube_pad=use_cube_pad,
-                compute_dtype=compute_dtype,
+                compute_dtype=compute_dtype, conv_impl=conv_impl,
             )
         )
         for k in range(valid):
