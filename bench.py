@@ -44,10 +44,17 @@ def main():
         for _ in range(n_warm + n_meas)
     ]
 
-    def run(i):
-        # production extraction path: host u8 cube sampling + fused device
-        # step (host remap cost included in the measurement)
-        faces = np.stack([host_equi_to_cube_u8(f, 224) for f in batches[i]])
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def remap(i):
+        # host cube sampling, prefetched like the production pipeline
+        # (pipelines/extract.py submits per-frame remaps at decode time)
+        return [pool.submit(host_equi_to_cube_u8, f, 224) for f in batches[i]]
+
+    def run(futs):
+        faces = np.stack([f.result() for f in futs])
         scores, sal = stage1_batch_faces(
             params, jnp.asarray(faces), arch="resnet50", use_cube_pad=True,
             compute_dtype=jnp.bfloat16, out_dtype=jnp.float16,
@@ -56,17 +63,21 @@ def main():
 
     # warmup / compile
     for i in range(n_warm):
-        out = run(i)
+        out = run(remap(i))
     jax.device_get(out)
 
-    # steady state, 1-deep pipeline: fetch batch i-1 while i computes.
-    # Median per-batch time — the transfer relay has rare multi-second
-    # latency spikes unrelated to the workload.
+    # steady state, 1-deep pipeline: batch i+1's remap runs while batch i
+    # transfers/computes and batch i-1 fetches. Median per-batch time —
+    # the transfer relay has rare multi-second latency spikes unrelated to
+    # the workload.
     times = []
     pending = None
+    futs = remap(n_warm)
     t_prev = time.time()
     for i in range(n_warm, n_warm + n_meas):
-        out = run(i)
+        nxt = remap(i + 1) if i + 1 < n_warm + n_meas else None
+        out = run(futs)
+        futs = nxt
         if pending is not None:
             jax.device_get(pending)
         pending = out
@@ -74,6 +85,7 @@ def main():
         times.append(now - t_prev)
         t_prev = now
     jax.device_get(pending)
+    pool.shutdown(wait=False)
     fps = batch / float(np.median(times))
 
     baseline_fps = None

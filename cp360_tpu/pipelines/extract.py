@@ -236,6 +236,10 @@ def extract_video(
     # flow is the slowest host stage (SURVEY.md §3.1 hot spot #3); cv2
     # releases the GIL, so frame pairs run across a worker pool
     flow_pool = ThreadPoolExecutor(max_workers=cfg.processes) if cfg.opt_flow and output_motion else None
+    # cube remap is the next-slowest host stage (~12 ms/frame): submit it
+    # per-frame at decode time so it overlaps decode + the previous batch's
+    # transfer/compute instead of serializing inside submit()
+    remap_pool = ThreadPoolExecutor(max_workers=max(2, cfg.processes)) if cfg.host_cube_remap else None
 
     feat_dir = os.path.join(out_dir, "cube_feat")
     motion_dir = os.path.join(out_dir, "motion")
@@ -302,7 +306,8 @@ def extract_video(
             reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
             frames_u8 = np.concatenate([frames_u8, reps], axis=0)
         if cfg.host_cube_remap:
-            faces = np.stack([host_equi_to_cube_u8(f, cfg.cube_dim) for f in frames_u8])
+            done = [b[4].result() for b in batch]  # remapped at decode time
+            faces = np.stack(done + [done[-1]] * (batch_frames - len(batch)))
             scores_dev, sal_dev = stage1_batch_faces(
                 params, _shard_in(faces), arch=arch,
                 use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
@@ -339,7 +344,9 @@ def extract_video(
             flow = flow_pool.submit(
                 flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
             )
-        batch.append((cnt, frame_u8, pil_img, flow))
+        faces_fut = (remap_pool.submit(host_equi_to_cube_u8, frame_u8, cfg.cube_dim)
+                     if remap_pool is not None else None)
+        batch.append((cnt, frame_u8, pil_img, flow, faces_fut))
         prev_bgr = frame
 
         if len(batch) == batch_frames:
@@ -356,5 +363,7 @@ def extract_video(
     cap.release()
     if flow_pool is not None:
         flow_pool.shutdown(wait=True)
+    if remap_pool is not None:
+        remap_pool.shutdown(wait=True)
     log_fn(f"{vid_path}: {written} frames in {time.time() - t_start:.1f}s")
     return written
