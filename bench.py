@@ -29,7 +29,9 @@ def main():
     from cp360_tpu.models.resnet import init_resnet_params
     from cp360_tpu.pipelines.extract import host_equi_to_cube_u8, stage1_batch_faces
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 16 measured best through this host's transfer tunnel: 22.8 vs
+    # 19.6 fps at 8 (spike amortization) and 15.8 at 32 (flow-control wall)
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
     n_meas = int(os.environ.get("BENCH_BATCHES", "8"))
 

@@ -1,0 +1,66 @@
+"""Streaming CLI: one 360° video -> temporal saliency maps, no artifacts.
+
+The reference has no single-command path from video to temporal saliency —
+it requires dataset_feat_extractor writing .npy artifacts to disk and then
+test_temporal re-reading them (SURVEY.md §1.2).  This CLI runs the fused
+streaming pipeline (pipelines/stream.py: CAM cubes stay device-resident
+between the stages) and writes one ``{frame:05}.npy`` saliency map per
+complete window — numbering-compatible with the offline pipeline's output,
+so `eval_saliency` scores either interchangeably.
+
+    python -m cp360_tpu.cli.stream_saliency --video v.mp4 \
+        --backbone resnet50.npz --clstm CLSTM.npz --out outdir \
+        [--max-frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from cp360_tpu.config import add_config_overrides, config_from_args
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--video", type=str, required=True)
+    parser.add_argument("--backbone", type=str, required=True, help=".npz/.pth backbone weights")
+    parser.add_argument("--clstm", type=str, required=True, help=".npz/.pth ConvLSTM weights")
+    parser.add_argument("--out", type=str, required=True, help="output dir for saliency .npy")
+    parser.add_argument("--arch", type=str, default="resnet50")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--stage1-batch", type=int, default=8)
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(argv)
+    cfg = config_from_args(args)
+
+    from cp360_tpu.cli.extract_features import load_params
+    from cp360_tpu.compat.torch_weights import load_npz
+    from cp360_tpu.pipelines.stream import stream_video_saliency
+
+    backbone = load_params(args.backbone, args.arch)
+    if args.clstm.endswith(".pth"):
+        from cp360_tpu.compat.torch_weights import (
+            convert_clstm_state_dict,
+            load_torch_state_dict,
+        )
+
+        clstm = convert_clstm_state_dict(load_torch_state_dict(args.clstm))
+    else:
+        clstm = load_npz(args.clstm)
+
+    os.makedirs(args.out, exist_ok=True)
+    n = 0
+    for frame_id, sal in stream_video_saliency(
+        backbone, clstm, args.video, cfg, arch=args.arch,
+        stage1_batch=args.stage1_batch, max_frames=args.max_frames,
+    ):
+        np.save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
+        n += 1
+    print(f"{args.video}: {n} saliency maps -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

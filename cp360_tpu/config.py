@@ -72,7 +72,9 @@ class Config:
     host_cube_remap: bool = True  # sample cube faces on host (u8) — halves
     #   host<->device bytes; false = exact all-device resample
     feat_dtype: str = "float16"  # stage-1 CAM artifact dtype (float32 exact)
-    extract_batch: int = 8  # frames per fused device step in extraction
+    extract_batch: int = 16  # frames per fused device step in extraction
+    #   (16 measured best through the TPU transfer tunnel: spikes amortize;
+    #   32 regresses)
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
     flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
     checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)

@@ -60,3 +60,45 @@ def test_stream_matches_offline(tmp_path):
     assert sorted(offline_ids) == sorted(set(stream) - {max(stream)})
     for k in offline_ids:
         np.testing.assert_allclose(stream[k], offline_ids[k], atol=1e-4, rtol=1e-4)
+
+
+def test_stream_cli_writes_offline_compatible_maps(tmp_path):
+    """cli/stream_saliency drives the streaming pipeline end-to-end and its
+    saved files reproduce the library API's outputs with offline-compatible
+    numbering."""
+    from cp360_tpu.cli.stream_saliency import main as stream_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    path = str(tmp_path / "v.mp4")
+    rng = np.random.RandomState(2)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = (rng.rand(128, 256, 3) * 255).astype(np.uint8)
+    for t in range(9):
+        vw.write(np.roll(base, 7 * t, axis=1))
+    vw.release()
+
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    save_npz(str(tmp_path / "bb.npz"), backbone)
+    save_npz(str(tmp_path / "cl.npz"), clstm)
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=5,
+                 compute_dtype="float32", opt_flow=False)
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        f.write("equi_h: 256\nequi_w: 128\ncube_dim: 64\nseq_len: 5\n"
+                "compute_dtype: float32\nopt_flow: false\n")
+
+    out = str(tmp_path / "sal")
+    stream_main([
+        "--video", path, "--backbone", str(tmp_path / "bb.npz"),
+        "--clstm", str(tmp_path / "cl.npz"), "--out", out,
+        "--arch", "resnet18", "--stage1-batch", "4", "--config", cfg_path,
+    ])
+    want = dict(stream_video_saliency(backbone, clstm, path, cfg,
+                                      arch="resnet18", stage1_batch=4))
+    got = {int(f[:-4]): np.load(os.path.join(out, f))
+           for f in os.listdir(out) if f.endswith(".npy")}
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5)
