@@ -66,7 +66,10 @@ def main(argv=None):
     parser.add_argument("--offset", type=int, default=None,
                         help="pred index - GT index (default: auto — 0 for "
                              "stage-2 dirs, 2 for stage-1 cube_feat dirs)")
-    args, _ = parser.parse_known_args(argv)
+    args, _unknown = parser.parse_known_args(argv)
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(_unknown)
 
     rng = np.random.RandomState(args.seed) if args.seed is not None else None
     totals = {"AUC": [], "AUCB": [], "CC": [], "SIM": []}

@@ -26,7 +26,10 @@ def main(argv=None):
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8360)
     add_config_overrides(parser)
-    args, _ = parser.parse_known_args(argv)
+    args, _unknown = parser.parse_known_args(argv)
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(_unknown)
     cfg = config_from_args(args)
 
     from cp360_tpu.cli.extract_features import load_params

@@ -33,7 +33,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--stage1-batch", type=int, default=8)
     add_config_overrides(parser)
-    args, _ = parser.parse_known_args(argv)
+    args, _unknown = parser.parse_known_args(argv)
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(_unknown)
     cfg = config_from_args(args)
 
     from cp360_tpu.cli.extract_features import load_params

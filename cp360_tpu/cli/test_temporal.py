@@ -41,7 +41,10 @@ def main(argv=None):
     parser.add_argument("--data-parallel", type=int, default=None,
                         help="shard window batches over N devices")
     add_config_overrides(parser)
-    args, _ = parser.parse_known_args(argv)
+    args, _unknown = parser.parse_known_args(argv)
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(_unknown)
     cfg = config_from_args(args)
 
     model_path = args.model

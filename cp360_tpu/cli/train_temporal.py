@@ -34,7 +34,10 @@ def main(argv=None):
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the run")
     add_config_overrides(parser)
-    args, _ = parser.parse_known_args(argv)
+    args, _unknown = parser.parse_known_args(argv)
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(_unknown)
     cfg = config_from_args(args)
     if args.profile_dir:
         cfg = cfg.replace(profile_dir=args.profile_dir)

@@ -101,12 +101,32 @@ def load_config(path: str = "config.yaml", **overrides) -> Config:
 
 
 def add_config_overrides(parser: argparse.ArgumentParser) -> None:
-    """The reference drivers' override flags (train_temporal.py:196-203)."""
+    """The reference drivers' override flags (train_temporal.py:196-203),
+    plus a general ``--set field=value`` escape hatch for any Config field."""
     parser.add_argument("--config", type=str, default=None, help="config.yaml path")
     parser.add_argument("--sml", type=float, default=None, help="smooth (flow-warp) loss weight")
     parser.add_argument("--tmpl", type=float, default=None, help="temporal loss weight")
     parser.add_argument("--mml", type=float, default=None, help="motion-mask loss weight")
     parser.add_argument("--lr", type=float, default=None, help="learning rate")
+    parser.add_argument("--set", action="append", default=None, metavar="FIELD=VALUE",
+                        help="override any config field (repeatable), e.g. "
+                        "--set extract_batch=16 --set compute_dtype=float32")
+
+
+def _coerce(field: dataclasses.Field, raw: str):
+    """Parse a --set value using the Config field's declared type."""
+    t = field.type if not isinstance(field.type, str) else field.type
+    name = t if isinstance(t, str) else getattr(t, "__name__", str(t))
+    if "bool" in str(name):
+        low = raw.lower()
+        if low not in ("true", "false", "1", "0"):
+            raise ValueError(f"{field.name}: expected a boolean, got {raw!r}")
+        return low in ("true", "1")
+    if "int" in str(name):
+        return int(raw)
+    if "float" in str(name):
+        return float(raw)
+    return raw  # str / Optional[str]
 
 
 def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml") -> Config:
@@ -117,4 +137,22 @@ def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml"
         for src, dst in mapping.items()
         if getattr(args, src, None) is not None
     }
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    for item in getattr(args, "set", None) or []:
+        if "=" not in item:
+            raise SystemExit(f"--set expects FIELD=VALUE, got {item!r}")
+        key, raw = item.split("=", 1)
+        if key not in fields:
+            raise SystemExit(
+                f"--set: unknown config field {key!r} (valid: {', '.join(sorted(fields))})"
+            )
+        kw[key] = _coerce(fields[key], raw)
     return cfg.replace(**kw) if kw else cfg
+
+
+def warn_ignored_args(unknown) -> None:
+    """CLIs parse leniently (parse_known_args, mirroring the reference's
+    drivers); surface what was dropped instead of silently ignoring typos."""
+    if unknown:
+        print(f"WARNING: ignoring unrecognized arguments: {' '.join(unknown)} "
+              f"(config fields go through --set FIELD=VALUE)")

@@ -48,3 +48,54 @@ def test_replace_is_functional():
     cfg = Config()
     cfg2 = cfg.replace(seq_len=7)
     assert cfg.seq_len == 5 and cfg2.seq_len == 7
+
+
+def test_set_overrides_any_field(tmp_path):
+    """--set FIELD=VALUE overrides arbitrary config fields with coercion."""
+    import argparse
+
+    from cp360_tpu.config import add_config_overrides, config_from_args
+
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text("equi_h: 256\n")
+    parser = argparse.ArgumentParser()
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args([
+        "--config", str(cfg_path),
+        "--set", "extract_batch=4",
+        "--set", "compute_dtype=float32",
+        "--set", "cube_pad=false",
+        "--set", "mm_th=0.3",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.extract_batch == 4
+    assert cfg.compute_dtype == "float32"
+    assert cfg.cube_pad is False
+    assert abs(cfg.mm_th - 0.3) < 1e-9
+    assert cfg.equi_h == 256  # yaml value kept
+
+
+def test_set_rejects_unknown_field(tmp_path):
+    import argparse
+
+    import pytest as _pytest
+
+    from cp360_tpu.config import add_config_overrides, config_from_args
+
+    cfg_path = tmp_path / "c.yaml"
+    cfg_path.write_text("")
+    parser = argparse.ArgumentParser()
+    add_config_overrides(parser)
+    args, _ = parser.parse_known_args(
+        ["--config", str(cfg_path), "--set", "not_a_field=1"])
+    with _pytest.raises(SystemExit, match="unknown config field"):
+        config_from_args(args)
+
+
+def test_unknown_cli_args_warn(capsys):
+    from cp360_tpu.config import warn_ignored_args
+
+    warn_ignored_args(["--equi_h", "256"])
+    assert "ignoring unrecognized" in capsys.readouterr().out
+    warn_ignored_args([])
+    assert capsys.readouterr().out == ""
