@@ -58,9 +58,9 @@ def stream_video_saliency(
     carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
     carry_cnts: list = []
 
-    def process_frame_batch(batch):  # [(cnt, frame_u8)] -> yields (id, sal)
+    def process_frame_batch(batch):  # [(cnt, faces_future)] -> yields (id, sal)
         nonlocal carry, carry_cnts
-        faces = np.stack([host_equi_to_cube_u8(f, cfg.cube_dim) for _, f in batch])
+        faces = np.stack([f.result() for _, f in batch])
         scores, _ = stage1_batch_faces(
             backbone_params, jnp.asarray(faces), arch=arch,
             use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
@@ -94,24 +94,36 @@ def stream_video_saliency(
         carry = frames_dev[-keep:]
         carry_cnts = all_cnts[-keep:]
 
-    prev = None
-    fbatch = []
-    for i in range(total):
-        ok, frame = cap.read()
-        if not ok:
-            break
-        if i == 0:
+    from concurrent.futures import ThreadPoolExecutor
+
+    # cube remap rides a worker pool from decode time (cv2 releases the
+    # GIL), overlapping decode + the previous batch's device work — same
+    # scheme as pipelines/extract.py
+    remap_pool = ThreadPoolExecutor(max_workers=4)
+    try:
+        prev = None
+        fbatch = []
+        for i in range(total):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i == 0:
+                prev = frame
+                continue
+            cnt = i + 1  # reference numbering
+            img = Image.fromarray(prev).convert("RGB").resize(
+                wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
+            )
+            fut = remap_pool.submit(
+                host_equi_to_cube_u8, np.asarray(img, np.uint8), cfg.cube_dim
+            )
+            fbatch.append((cnt, fut))
             prev = frame
-            continue
-        cnt = i + 1  # reference numbering
-        img = Image.fromarray(prev).convert("RGB").resize(
-            wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
-        )
-        fbatch.append((cnt, np.asarray(img, np.uint8)))
-        prev = frame
-        if len(fbatch) == stage1_batch:
+            if len(fbatch) == stage1_batch:
+                yield from process_frame_batch(fbatch)
+                fbatch = []
+        if fbatch:
             yield from process_frame_batch(fbatch)
-            fbatch = []
-    if fbatch:
-        yield from process_frame_batch(fbatch)
-    cap.release()
+        cap.release()
+    finally:
+        remap_pool.shutdown(wait=True)
