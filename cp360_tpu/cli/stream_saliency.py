@@ -40,19 +40,11 @@ def main(argv=None):
     cfg = config_from_args(args)
 
     from cp360_tpu.cli.extract_features import load_params
-    from cp360_tpu.compat.torch_weights import load_npz
+    from cp360_tpu.cli.test_temporal import load_clstm
     from cp360_tpu.pipelines.stream import stream_video_saliency
 
     backbone = load_params(args.backbone, args.arch)
-    if args.clstm.endswith(".pth"):
-        from cp360_tpu.compat.torch_weights import (
-            convert_clstm_state_dict,
-            load_torch_state_dict,
-        )
-
-        clstm = convert_clstm_state_dict(load_torch_state_dict(args.clstm))
-    else:
-        clstm = load_npz(args.clstm)
+    clstm = load_clstm(args.clstm)
 
     os.makedirs(args.out, exist_ok=True)
     n = 0

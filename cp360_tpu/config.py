@@ -115,8 +115,8 @@ def add_config_overrides(parser: argparse.ArgumentParser) -> None:
 
 def _coerce(field: dataclasses.Field, raw: str):
     """Parse a --set value using the Config field's declared type."""
-    t = field.type if not isinstance(field.type, str) else field.type
-    name = t if isinstance(t, str) else getattr(t, "__name__", str(t))
+    # annotations are plain strings here (from __future__ import annotations)
+    name = str(field.type)
     if "bool" in str(name):
         low = raw.lower()
         if low not in ("true", "false", "1", "0"):

@@ -82,6 +82,7 @@ def stream_video_saliency(
                 window_infer_from_frames(
                     clstm_params, frames_dev, positions, seq_len=seq_len,
                     use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                    conv_impl=cfg.clstm_conv_impl,
                 )
             )
             for k in range(n_windows):

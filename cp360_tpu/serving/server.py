@@ -35,6 +35,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -44,6 +45,7 @@ import numpy as np
 from cp360_tpu.config import Config
 
 MAX_SESSIONS = 64
+SESSION_IDLE_TTL_S = 600.0  # abandoned sessions are evicted after this
 
 
 class SaliencyModel:
@@ -102,14 +104,27 @@ class SaliencyModel:
 
     # ---- temporal streaming sessions ------------------------------------
 
+    def _evict_idle(self) -> None:
+        """Drop sessions idle past SESSION_IDLE_TTL_S (callers hold _lock).
+
+        Clients that crash without POSTing /temporal/close must not pin
+        device memory or wedge the MAX_SESSIONS cap forever.
+        """
+        now = time.monotonic()
+        for sid in [s for s, v in self._sessions.items()
+                    if now - v["last_used"] > SESSION_IDLE_TTL_S]:
+            del self._sessions[sid]
+
     def temporal_start(self) -> str:
         if self.clstm_params is None:
             raise LookupError("server started without a ConvLSTM (--clstm)")
         with self._lock:
+            self._evict_idle()
             if len(self._sessions) >= MAX_SESSIONS:
                 raise OverflowError(f"too many sessions (max {MAX_SESSIONS})")
             sid = uuid.uuid4().hex[:12]
-            self._sessions[sid] = {"frames": [], "count": 0}
+            self._sessions[sid] = {"frames": [], "count": 0,
+                                   "last_used": time.monotonic()}
         return sid
 
     def temporal_push(self, sid: str, frame_u8: np.ndarray):
@@ -128,6 +143,7 @@ class SaliencyModel:
             if sid not in self._sessions:
                 raise KeyError(sid)
             sess = self._sessions[sid]
+            sess["last_used"] = time.monotonic()
             scores, _ = self._stage1(frame_u8)
             sess["frames"].append(scores)
             sess["frames"] = sess["frames"][-seq_len:]
@@ -139,6 +155,7 @@ class SaliencyModel:
             sal = window_infer(
                 self.clstm_params, window, use_cube_pad=self.cfg.cube_pad,
                 compute_dtype=self._compute_dtype(),
+                conv_impl=self.cfg.clstm_conv_impl,
             )
             return idx, np.asarray(sal[0])
 

@@ -245,7 +245,14 @@ def train(
             f" (iter {it}, epoch {start_epoch})"
         )
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
-    with logger, maybe_profile(cfg.profile_dir):
+    from contextlib import ExitStack
+
+    with ExitStack() as stack:
+        # always finalize in-flight async saves (orbax) — an exception mid-
+        # epoch must not leave a half-written step directory behind
+        stack.callback(ck.close)
+        stack.enter_context(logger)
+        stack.enter_context(maybe_profile(cfg.profile_dir))
         for epoch in range(start_epoch, cfg.epochs):
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
@@ -288,5 +295,4 @@ def train(
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
             ck.save(params, opt_state, it, epoch + 1)
-    ck.close()
     return params

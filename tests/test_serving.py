@@ -173,3 +173,19 @@ def test_temporal_healthz(temporal_server):
     conn.request("GET", "/healthz")
     info = json.loads(conn.getresponse().read())
     assert info["temporal"] is True and info["seq_len"] == 3
+
+
+def test_idle_sessions_evicted(temporal_server, monkeypatch):
+    """Abandoned sessions (no /temporal/close) are evicted after the idle
+    TTL instead of permanently pinning the MAX_SESSIONS cap."""
+    import cp360_tpu.serving.server as srv
+
+    _, model = temporal_server
+    sid = model.temporal_start()
+    assert sid in model._sessions
+    # age the session past the TTL and trigger the sweep via a new start
+    model._sessions[sid]["last_used"] -= srv.SESSION_IDLE_TTL_S + 1
+    sid2 = model.temporal_start()
+    assert sid not in model._sessions
+    assert sid2 in model._sessions
+    model.temporal_close(sid2)

@@ -116,14 +116,17 @@ def main():
 
     tt.ConvLSTMCell = build_cell
 
-    n_steps = 0
-    orig_train = tt.train
+    # Count the ACTUAL optimizer steps executed (the reference's train()
+    # returns None, so hook Adam.step) rather than trusting the synthetic
+    # window arithmetic.
+    calls = {"n": 0}
+    real_step = torch.optim.Adam.step
 
-    def counting_train(*a, **k):
-        nonlocal n_steps
-        res = orig_train(*a, **k)
-        n_steps = res if isinstance(res, int) else n_steps
-        return res
+    def counted_step(self, *a, **k):
+        calls["n"] += 1
+        return real_step(self, *a, **k)
+
+    torch.optim.Adam.step = counted_step
 
     cwd = os.getcwd()
     os.chdir(os.path.join(root, "run"))
@@ -134,12 +137,18 @@ def main():
         tt.main()
     finally:
         os.chdir(cwd)
+        torch.optim.Adam.step = real_step
     dt = time.time() - t0
 
+    n_steps = calls["n"]
+    assert n_steps == n_windows, (
+        f"reference executed {n_steps} optimizer steps, expected {n_windows} "
+        f"(window-rule drift — BENCH_TRAIN_BASELINE would be skewed)"
+    )
     out = {
-        "torch_cpu_steps_per_s": n_windows / dt,
-        "s_per_step": dt / n_windows,
-        "steps_measured": n_windows,
+        "torch_cpu_steps_per_s": n_steps / dt,
+        "s_per_step": dt / n_steps,
+        "steps_measured": n_steps,
         "pipeline": "reference train_temporal.main(): CLSTM(1000) rollout + "
         "to_equi_nn + cv2 flow resize + 3 losses + Adam, batch_size 1",
         "hardware": "container CPU (torch eager, fp32)",
