@@ -163,7 +163,9 @@ def infer_video(
 
     # fixed shapes for one compilation: F = batch + seq_len - 1 frames/batch
     f_fixed = batch_windows + seq_len - 1
-    for b0 in range(0, n_windows, batch_windows):
+
+    def prepare(b0: int):
+        """Disk-load + pad one batch's frames (runs on the IO thread)."""
         b1 = min(b0 + batch_windows, n_windows)
         frames = load_frames(b0, min(b0 + f_fixed, n))
         valid = b1 - b0
@@ -171,22 +173,45 @@ def infer_video(
             reps = np.repeat(frames[-1:], f_fixed - frames.shape[0], axis=0)
             frames = np.concatenate([frames, reps], axis=0)
         positions = np.minimum(np.arange(batch_windows), valid - 1).astype(np.int32)
-        frames_dev = jnp.asarray(frames)
-        pos_dev = jnp.asarray(positions)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        return b0, valid, frames, positions
 
-            frames_dev = jax.device_put(frames_dev, NamedSharding(mesh, P()))
-            pos_dev = jax.device_put(pos_dev, NamedSharding(mesh, P("data")))
-        preds = np.asarray(
-            window_infer_from_frames(
+    # one-deep pipeline: batch k+1's artifacts read from disk while batch k
+    # transfers/computes, and batch k's predictions materialize only when
+    # batch k+1 is already dispatched (JAX async dispatch does the rest)
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, n_windows, batch_windows))
+    with ThreadPoolExecutor(max_workers=1) as io_pool:
+        fut = io_pool.submit(prepare, starts[0])
+        pending = None  # (b0, valid, preds device array)
+
+        def flush(pending):
+            if pending is None:
+                return
+            b0, valid, preds_dev = pending
+            preds = np.asarray(preds_dev)
+            for k in range(valid):
+                out[b0 + k] = preds[k]
+
+        for i in range(len(starts)):
+            b0, valid, frames, positions = fut.result()
+            if i + 1 < len(starts):
+                fut = io_pool.submit(prepare, starts[i + 1])
+            frames_dev = jnp.asarray(frames)
+            pos_dev = jnp.asarray(positions)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                frames_dev = jax.device_put(frames_dev, NamedSharding(mesh, P()))
+                pos_dev = jax.device_put(pos_dev, NamedSharding(mesh, P("data")))
+            preds_dev = window_infer_from_frames(
                 params, frames_dev, pos_dev,
                 seq_len=seq_len, use_cube_pad=use_cube_pad,
                 compute_dtype=compute_dtype, conv_impl=conv_impl,
             )
-        )
-        for k in range(valid):
-            out[b0 + k] = preds[k]
+            flush(pending)
+            pending = (b0, valid, preds_dev)
+        flush(pending)
     return out
 
 
