@@ -69,7 +69,7 @@ def main(argv=None):
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
 
-    warn_ignored_args(_unknown)
+    warn_ignored_args(_unknown, supports_set=False)
 
     rng = np.random.RandomState(args.seed) if args.seed is not None else None
     totals = {"AUC": [], "AUCB": [], "CC": [], "SIM": []}

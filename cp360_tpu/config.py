@@ -114,18 +114,27 @@ def add_config_overrides(parser: argparse.ArgumentParser) -> None:
 
 
 def _coerce(field: dataclasses.Field, raw: str):
-    """Parse a --set value using the Config field's declared type."""
+    """Parse a --set value using the Config field's declared type.
+
+    Bad values exit cleanly (SystemExit) like every other --set error —
+    no raw tracebacks for CLI typos.
+    """
     # annotations are plain strings here (from __future__ import annotations)
     name = str(field.type)
-    if "bool" in str(name):
-        low = raw.lower()
-        if low not in ("true", "false", "1", "0"):
-            raise ValueError(f"{field.name}: expected a boolean, got {raw!r}")
-        return low in ("true", "1")
-    if "int" in str(name):
-        return int(raw)
-    if "float" in str(name):
-        return float(raw)
+    try:
+        if "bool" in name:
+            low = raw.lower()
+            if low not in ("true", "false", "1", "0"):
+                raise ValueError
+            return low in ("true", "1")
+        if "int" in name:
+            return int(raw)
+        if "float" in name:
+            return float(raw)
+    except ValueError:
+        raise SystemExit(
+            f"--set {field.name}: expected {name}, got {raw!r}"
+        ) from None
     return raw  # str / Optional[str]
 
 
@@ -150,9 +159,9 @@ def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml"
     return cfg.replace(**kw) if kw else cfg
 
 
-def warn_ignored_args(unknown) -> None:
+def warn_ignored_args(unknown, supports_set: bool = True) -> None:
     """CLIs parse leniently (parse_known_args, mirroring the reference's
     drivers); surface what was dropped instead of silently ignoring typos."""
     if unknown:
-        print(f"WARNING: ignoring unrecognized arguments: {' '.join(unknown)} "
-              f"(config fields go through --set FIELD=VALUE)")
+        hint = " (config fields go through --set FIELD=VALUE)" if supports_set else ""
+        print(f"WARNING: ignoring unrecognized arguments: {' '.join(unknown)}{hint}")

@@ -49,6 +49,11 @@ def maybe_init_distributed(log_fn=print) -> bool:
     nproc = os.environ.get("CP360_NUM_PROCESSES")
     pid = os.environ.get("CP360_PROCESS_ID")
     if coord or nproc or pid:  # explicit rendezvous; else launcher auto-detect
+        if not (coord and nproc and pid is not None):
+            raise SystemExit(
+                "CP360_DIST explicit rendezvous needs ALL of CP360_COORDINATOR, "
+                "CP360_NUM_PROCESSES and CP360_PROCESS_ID (or none, to use a "
+                "launcher JAX auto-detects)")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(nproc) if nproc else None,

@@ -71,6 +71,10 @@ def pipelined_rollout(
         raise ValueError(f"T={t} must divide over {n_pipe} pipe devices")
     if b % n_micro:
         raise ValueError(f"B={b} must divide into {n_micro} microbatches")
+    if (b // n_micro) % 6:
+        raise ValueError(
+            f"microbatch size {b // n_micro} must be a multiple of 6 "
+            f"(face-flattened batch; cube padding regroups faces)")
     bm = b // n_micro
     tc = t // n_pipe
     ch = params["gates"]["b"].shape[0] // 4

@@ -301,10 +301,6 @@ def extract_video(
 
     def submit(batch):
         cnts = [b[0] for b in batch]
-        frames_u8 = np.stack([b[1] for b in batch])
-        if len(batch) < batch_frames:  # pad the tail to avoid a recompile
-            reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
-            frames_u8 = np.concatenate([frames_u8, reps], axis=0)
         if cfg.host_cube_remap:
             done = [b[4].result() for b in batch]  # remapped at decode time
             faces = np.stack(done + [done[-1]] * (batch_frames - len(batch)))
@@ -314,6 +310,10 @@ def extract_video(
                 out_dtype=out_dtype,
             )
         else:
+            frames_u8 = np.stack([b[1] for b in batch])
+            if len(batch) < batch_frames:  # pad the tail, keep shapes static
+                reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
+                frames_u8 = np.concatenate([frames_u8, reps], axis=0)
             scores_dev, sal_dev = stage1_batch(
                 params, _shard_in(frames_u8), cube_dim=cfg.cube_dim,
                 arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,

@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from cp360_tpu.config import Config
-from cp360_tpu.pipelines.extract import host_equi_to_cube_u8, stage1_batch_faces
+from cp360_tpu.pipelines.extract import (
+    _resize_frame_pil,
+    host_equi_to_cube_u8,
+    stage1_batch_faces,
+)
 from cp360_tpu.pipelines.temporal import window_infer_from_frames
 
 
@@ -44,7 +48,6 @@ def stream_video_saliency(
     batches, and only the tiny [2h, 4w] saliency maps come back.
     """
     import cv2
-    from PIL import Image
 
     seq_len = cfg.seq_len
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -112,12 +115,8 @@ def stream_video_saliency(
                 prev = frame
                 continue
             cnt = i + 1  # reference numbering
-            img = Image.fromarray(prev).convert("RGB").resize(
-                wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
-            )
-            fut = remap_pool.submit(
-                host_equi_to_cube_u8, np.asarray(img, np.uint8), cfg.cube_dim
-            )
+            frame_u8, _ = _resize_frame_pil(prev, wh)
+            fut = remap_pool.submit(host_equi_to_cube_u8, frame_u8, cfg.cube_dim)
             fbatch.append((cnt, fut))
             prev = frame
             if len(fbatch) == stage1_batch:

@@ -142,6 +142,9 @@ class SaliencyModel:
         with self._lock:
             if sid not in self._sessions:
                 raise KeyError(sid)
+            self._evict_idle()
+            if sid not in self._sessions:
+                raise KeyError(sid)  # the pushing session itself timed out
             sess = self._sessions[sid]
             sess["last_used"] = time.monotonic()
             scores, _ = self._stage1(frame_u8)
