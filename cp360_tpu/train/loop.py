@@ -273,6 +273,15 @@ def train(
 
                 if it % cfg.summary_freq == 0:
                     loss_avg = float(running) / n_since  # the one host sync
+                    if not np.isfinite(loss_avg):
+                        # failure detection (SURVEY §5.3): a poisoned loss
+                        # silently corrupts every later step/checkpoint —
+                        # stop at the first summary that sees it
+                        raise FloatingPointError(
+                            f"non-finite training loss ({loss_avg}) at iter {it} "
+                            f"(epoch {epoch}) — bad batch or diverged optimizer; "
+                            f"last good checkpoint is resumable with --resume"
+                        )
                     now = time.time()
                     logger.log(
                         "train",

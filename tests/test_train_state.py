@@ -213,3 +213,26 @@ def test_npz_backend_same_contract(tmp_path):
     np.testing.assert_array_equal(np.asarray(p["gates"]["w"]), p_r["gates"]["w"])
     with pytest.raises(ValueError, match="unknown checkpoint_backend"):
         make_checkpointer("flatbuffer", str(tmp_path))
+
+
+def test_train_aborts_on_nonfinite_loss(tmp_path):
+    """Failure detection: a poisoned batch raises at the next summary sync
+    instead of silently corrupting later steps and checkpoints."""
+    import pytest
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.train.loop import train
+
+    cfg = Config(input_size=8, hidden_size=8, flow_h=8, seq_len=5,
+                 batch_size=1, epochs=1, summary_freq=1, save_freq=10**9,
+                 compute_dtype="float32",
+                 checkpoint_path=str(tmp_path / "ck"))
+    rng = np.random.RandomState(0)
+    seq = rng.rand(1, 5, 6, 7, 7, 8).astype(np.float32)
+    flows = rng.randn(1, 5, 8, 16, 2).astype(np.float32)
+    flows[0, 1, 0, 0, 0] = np.inf  # poison one flow value
+
+    params = init_clstm_params(jax.random.PRNGKey(0), 8, 8)
+    with pytest.raises(FloatingPointError, match="non-finite training loss"):
+        train(cfg, [(seq, flows)], params=params, log_fn=lambda *a, **k: None)
