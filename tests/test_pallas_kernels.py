@@ -115,3 +115,36 @@ def test_channel_padding_path():
     want = np.asarray(cube_conv3x3_reference(x, w, b))
     got = np.asarray(cube_conv3x3(x, w, b, ci_tile=16, co_tile=8, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_train_step_conv_impl_pallas_matches():
+    """The FULL optimization step (losses + custom VJP + Adam) under
+    conv_impl='pallas' matches the xla step — the gate is safe end-to-end,
+    gradients included."""
+    import optax
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.train.loop import make_train_step
+
+    rng = np.random.RandomState(6)
+    seq = jnp.asarray(rng.rand(1, 5, 6, 7, 7, 8).astype(np.float32))
+    flows = jnp.asarray(rng.randn(1, 5, 8, 16, 2).astype(np.float32))
+    params = init_clstm_params(jax.random.PRNGKey(0), 8, 8)
+
+    results = {}
+    for impl in ("xla", "pallas"):
+        cfg = Config(input_size=8, hidden_size=8, flow_h=8,
+                     compute_dtype="float32", lr=1e-3, clstm_conv_impl=impl)
+        opt = optax.adam(cfg.lr)
+        p = jax.tree.map(jnp.array, params)
+        st = opt.init(p)
+        p2, _, metrics = make_train_step(cfg, opt)(p, st, seq, flows)
+        results[impl] = (float(metrics["loss"]), p2)
+
+    assert abs(results["pallas"][0] - results["xla"][0]) < 1e-3 * (
+        1 + abs(results["xla"][0]))
+    for lx, lp in zip(jax.tree.leaves(results["xla"][1]),
+                      jax.tree.leaves(results["pallas"][1])):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   atol=5e-4, rtol=5e-4)
