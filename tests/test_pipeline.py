@@ -211,3 +211,42 @@ def test_mesh_from_config():
     assert mesh_from_config(Config()) is None  # 1x1 default: unsharded path
     mesh = mesh_from_config(Config(mesh_data=4, mesh_model=2))
     assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_eval_saliency_cli_end_to_end(tmp_path, capsys):
+    """cli/eval_saliency scores a stage-2 prediction dir against GT and its
+    aggregate equals the metrics computed directly (replayed RNG stream)."""
+    from cp360_tpu.cli.eval_saliency import main as eval_main
+    from cp360_tpu.data.dataset import builtin_split
+    from cp360_tpu.metrics import saliency as M
+
+    vid = builtin_split("test_25")[0]
+    rng = np.random.RandomState(0)
+    pred_dir = tmp_path / "preds" / vid
+    gt_dir = tmp_path / "gt" / (vid + ".mp4")
+    pred_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    preds, gts = {}, {}
+    for idx in (4, 5, 6):
+        preds[idx] = rng.rand(14, 28).astype(np.float32)
+        gts[idx] = (rng.rand(30, 60) ** 4).astype(np.float32)
+        np.save(pred_dir / f"{idx:05}.npy", preds[idx])
+        np.save(gt_dir / f"{idx:05}.npy", gts[idx])
+
+    eval_main(["--input", str(tmp_path / "preds"), "--gt", str(tmp_path / "gt"),
+               "--seed", "7"])
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines() if ln.startswith("total result")][0]
+
+    # replay the CLI's RNG stream: judd/borji interleave per frame
+    mrng = np.random.RandomState(7)
+    aucs, aucbs, ccs, sims = [], [], [], []
+    for i in (4, 5, 6):
+        aucs.append(M.auc_judd(preds[i], gts[i], rng=mrng))
+        aucbs.append(M.auc_borji(preds[i], gts[i], rng=mrng))
+        ccs.append(M.corr_coeff(preds[i], gts[i]))
+        sims.append(M.similarity(preds[i], gts[i]))
+    assert f"AUC={np.mean(aucs):.4f}" in line
+    assert f"AUCB={np.mean(aucbs):.4f}" in line
+    assert f"CC={np.mean(ccs):.4f}" in line
+    assert f"SIM={np.mean(sims):.4f}" in line
