@@ -79,6 +79,9 @@ class Config:
     flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
     checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)
     clstm_conv_impl: str = "xla"  # 'xla' | 'pallas' (fused cube-pad+conv kernel)
+    keep_checkpoints: int = 0  # prune CLSTM_* weight snapshots beyond the
+    #   newest N (0 = keep all, the reference behaviour); the full train
+    #   state always keeps only the latest
 
     @property
     def frame_hw(self):

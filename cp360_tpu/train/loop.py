@@ -180,6 +180,24 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, cands[-1]) if cands else None
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Delete all but the newest ``keep`` CLSTM_* weight snapshots.
+
+    The reference saves at every save_freq forever (train_temporal.py:
+    182-185) — unbounded disk on long runs.  Gated by config
+    ``keep_checkpoints`` (0 = reference behaviour).  Epoch-end snapshots
+    (epoch_*.npz) and the full train state are never pruned.
+    """
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    snaps = sorted(
+        f for f in os.listdir(ckpt_dir)
+        if f.startswith("CLSTM_") and f.endswith(".npz")
+    )
+    for f in snaps[:-keep]:
+        os.remove(os.path.join(ckpt_dir, f))
+
+
 def train(
     cfg: Config,
     loader,
@@ -301,6 +319,7 @@ def train(
                         os.path.join(ckdir, checkpoint_name(epoch, it)), params
                     )
                     ck.save(params, opt_state, it, epoch)
+                    prune_checkpoints(ckdir, cfg.keep_checkpoints)
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
             ck.save(params, opt_state, it, epoch + 1)

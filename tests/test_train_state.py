@@ -236,3 +236,24 @@ def test_train_aborts_on_nonfinite_loss(tmp_path):
     params = init_clstm_params(jax.random.PRNGKey(0), 8, 8)
     with pytest.raises(FloatingPointError, match="non-finite training loss"):
         train(cfg, [(seq, flows)], params=params, log_fn=lambda *a, **k: None)
+
+
+def test_checkpoint_pruning(tmp_path):
+    """keep_checkpoints prunes the oldest CLSTM_* weight snapshots but never
+    epoch snapshots or the train state."""
+    from cp360_tpu.train.loop import prune_checkpoints
+
+    d = tmp_path / "ck"
+    d.mkdir()
+    for name in ("CLSTM_00_000010.npz", "CLSTM_00_000020.npz",
+                 "CLSTM_01_000030.npz", "epoch_00.npz",
+                 "train_state_latest.npz"):
+        (d / name).write_bytes(b"x")
+
+    prune_checkpoints(str(d), keep=0)  # reference behaviour: keep all
+    assert len(list(d.iterdir())) == 5
+
+    prune_checkpoints(str(d), keep=2)
+    left = sorted(p.name for p in d.iterdir())
+    assert left == ["CLSTM_00_000020.npz", "CLSTM_01_000030.npz",
+                    "epoch_00.npz", "train_state_latest.npz"]
