@@ -262,6 +262,10 @@ def extract_video(
         _shard_in = jnp.asarray
 
     cap = cv2.VideoCapture(vid_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(
+            f"cannot open video {vid_path!r} (missing file or unsupported codec)"
+        )
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     if max_frames is not None:
         total = min(total, max_frames)

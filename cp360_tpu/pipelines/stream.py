@@ -54,6 +54,10 @@ def stream_video_saliency(
     wh = (cfg.equi_h, cfg.equi_w)
 
     cap = cv2.VideoCapture(vid_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(
+            f"cannot open video {vid_path!r} (missing file or unsupported codec)"
+        )
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     if max_frames is not None:
         total = min(total, max_frames)

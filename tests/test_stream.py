@@ -102,3 +102,18 @@ def test_stream_cli_writes_offline_compatible_maps(tmp_path):
     assert sorted(got) == sorted(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=1e-5)
+
+
+def test_missing_video_raises_clearly(tmp_path):
+    from cp360_tpu.config import Config
+    from cp360_tpu.pipelines.extract import extract_video
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, opt_flow=False)
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+
+    with pytest.raises(FileNotFoundError, match="cannot open video"):
+        list(stream_video_saliency(backbone, clstm, str(tmp_path / "nope.mp4"), cfg))
+    with pytest.raises(FileNotFoundError, match="cannot open video"):
+        extract_video(backbone, cfg, str(tmp_path / "nope.mp4"),
+                      str(tmp_path / "o"), output_feature=True, arch="resnet18")
