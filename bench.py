@@ -34,6 +34,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
     n_meas = int(os.environ.get("BENCH_BATCHES", "8"))
+    # soft wall-clock budget: the transfer tunnel intermittently degrades
+    # 20-100x; report the median of whatever completed rather than nothing
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
 
     params = init_resnet_params(jax.random.PRNGKey(0), "resnet50")
     params = jax.device_put(params)
@@ -75,7 +78,7 @@ def main():
     times = []
     pending = None
     futs = remap(n_warm)
-    t_prev = time.time()
+    t_start = t_prev = time.time()
     for i in range(n_warm, n_warm + n_meas):
         nxt = remap(i + 1) if i + 1 < n_warm + n_meas else None
         out = run(futs)
@@ -86,6 +89,8 @@ def main():
         now = time.time()
         times.append(now - t_prev)
         t_prev = now
+        if now - t_start > budget_s and len(times) >= 2:
+            break  # degraded link: report what completed
     jax.device_get(pending)
     pool.shutdown(wait=False)
     fps = batch / float(np.median(times))
