@@ -61,6 +61,17 @@ def install_shims():
 
     torch.nn.functional.grid_sample = grid_sample_03
 
+    # Same era pin for functional.upsample (train_temporal.py:132-135):
+    # torch 0.3 bilinear upsample was always align_corners=True; the modern
+    # deprecated alias defaults to False.
+    def upsample_03(x, size=None, **k):
+        k.pop("align_corners", None)
+        return torch.nn.functional.interpolate(
+            x, size=size, mode=k.pop("mode", "bilinear"), align_corners=True, **k
+        )
+
+    torch.nn.functional.upsample = upsample_03
+
     # PIL removed the CUBIC alias (utils/utils.py:22 heatmap resize).
     from PIL import Image
 
