@@ -66,6 +66,9 @@ def main():
         )
         return scores, sal
 
+    t_start = time.time()  # budget covers warmup/compile too — a degraded
+    # tunnel can eat the harness timeout before measurement even begins
+
     # warmup / compile
     for i in range(n_warm):
         out = run(remap(i))
@@ -78,7 +81,7 @@ def main():
     times = []
     pending = None
     futs = remap(n_warm)
-    t_start = t_prev = time.time()
+    t_prev = time.time()
     for i in range(n_warm, n_warm + n_meas):
         nxt = remap(i + 1) if i + 1 < n_warm + n_meas else None
         out = run(futs)

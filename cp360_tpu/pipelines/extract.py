@@ -232,6 +232,14 @@ def extract_video(
 
     from cp360_tpu.flow.optical_flow import get_flow_fn
 
+    # open the video BEFORE creating worker pools so an unreadable path
+    # cannot leak executors
+    cap = cv2.VideoCapture(vid_path)
+    if not cap.isOpened():
+        raise FileNotFoundError(
+            f"cannot open video {vid_path!r} (missing file or unsupported codec)"
+        )
+
     flow_fn = get_flow_fn(cfg.flow_backend)
     # flow is the slowest host stage (SURVEY.md §3.1 hot spot #3); cv2
     # releases the GIL, so frame pairs run across a worker pool
@@ -261,11 +269,6 @@ def extract_video(
     else:
         _shard_in = jnp.asarray
 
-    cap = cv2.VideoCapture(vid_path)
-    if not cap.isOpened():
-        raise FileNotFoundError(
-            f"cannot open video {vid_path!r} (missing file or unsupported codec)"
-        )
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     if max_frames is not None:
         total = min(total, max_frames)

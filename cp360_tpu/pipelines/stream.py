@@ -53,6 +53,8 @@ def stream_video_saliency(
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     wh = (cfg.equi_h, cfg.equi_w)
 
+    # validate EAGERLY (this is the non-generator part of the function, so a
+    # bad path raises at call time, not at the first next())
     cap = cv2.VideoCapture(vid_path)
     if not cap.isOpened():
         raise FileNotFoundError(
@@ -61,6 +63,13 @@ def stream_video_saliency(
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     if max_frames is not None:
         total = min(total, max_frames)
+
+    return _stream_frames(backbone_params, clstm_params, cfg, arch,
+                          stage1_batch, cap, total, seq_len, compute_dtype, wh)
+
+
+def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
+                   cap, total, seq_len, compute_dtype, wh):
 
     carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
     carry_cnts: list = []

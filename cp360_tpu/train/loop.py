@@ -18,6 +18,7 @@ Capability parity with the reference training driver
 from __future__ import annotations
 
 import os
+import re
 import time
 from functools import partial
 from typing import Callable, Optional
@@ -190,9 +191,16 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     """
     if keep <= 0 or not os.path.isdir(ckpt_dir):
         return
+
+    def age_key(name):
+        # numeric (epoch, iter) — lexicographic order breaks past 999999
+        m = re.match(r"CLSTM_(\d+)_(\d+)\.npz$", name)
+        return (int(m.group(1)), int(m.group(2))) if m else (-1, -1)
+
     snaps = sorted(
-        f for f in os.listdir(ckpt_dir)
-        if f.startswith("CLSTM_") and f.endswith(".npz")
+        (f for f in os.listdir(ckpt_dir)
+         if f.startswith("CLSTM_") and f.endswith(".npz")),
+        key=age_key,
     )
     for f in snaps[:-keep]:
         os.remove(os.path.join(ckpt_dir, f))

@@ -66,9 +66,9 @@ def install_shims():
     # deprecated alias defaults to False.
     def upsample_03(x, size=None, **k):
         k.pop("align_corners", None)
-        return torch.nn.functional.interpolate(
-            x, size=size, mode=k.pop("mode", "bilinear"), align_corners=True, **k
-        )
+        mode = k.pop("mode", "nearest")  # torch-0.3 default
+        ac = {"align_corners": True} if mode != "nearest" else {}
+        return torch.nn.functional.interpolate(x, size=size, mode=mode, **ac, **k)
 
     torch.nn.functional.upsample = upsample_03
 
