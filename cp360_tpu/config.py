@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import typing
 from dataclasses import dataclass
 from typing import Optional
 
@@ -122,23 +123,32 @@ def _coerce(field: dataclasses.Field, raw: str):
     Bad values exit cleanly (SystemExit) like every other --set error —
     no raw tracebacks for CLI typos.
     """
-    # annotations are plain strings here (from __future__ import annotations)
-    name = str(field.type)
+    # annotations are plain strings here (from __future__ import annotations);
+    # resolve them to real types and unwrap Optional[T] so compound-typed
+    # fields dispatch on the actual type, not a substring of its repr.
+    tp = typing.get_type_hints(Config)[field.name]
+    if typing.get_origin(tp) is typing.Union:
+        non_none = [a for a in typing.get_args(tp) if a is not type(None)]
+        tp = non_none[0] if len(non_none) == 1 else str
     try:
-        if "bool" in name:
+        if tp is bool:
             low = raw.lower()
             if low not in ("true", "false", "1", "0"):
                 raise ValueError
             return low in ("true", "1")
-        if "int" in name:
+        if tp is int:
             return int(raw)
-        if "float" in name:
+        if tp is float:
             return float(raw)
     except ValueError:
         raise SystemExit(
-            f"--set {field.name}: expected {name}, got {raw!r}"
+            f"--set {field.name}: expected {tp.__name__}, got {raw!r}"
         ) from None
-    return raw  # str / Optional[str]
+    if tp is not str:
+        raise SystemExit(
+            f"--set {field.name}: type {tp!r} has no CLI coercion; set it in the YAML"
+        )
+    return raw
 
 
 def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml") -> Config:

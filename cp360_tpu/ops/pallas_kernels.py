@@ -19,8 +19,11 @@ cp360_tpu/models/clstm.py).  The XLA path materializes the cube-padded
   FLOPs) — so the selection cost does not scale with Cin.
 
 Zero gathers, zero HBM round-trips for the padded tensor, all FLOPs on the
-MXU.  Inference-path only (the training step keeps the autodiff-friendly
-XLA formulation); parity is tested against the gather-based reference path.
+MXU.  ``cube_conv3x3`` is the inference form; ``cube_conv3x3_train`` adds a
+custom VJP (the input gradient is the same kernel on the scatter-form
+selection matrix) so the training step can also run it — both are gated by
+the ``clstm_conv_impl`` config key, and parity is tested against the
+gather-based reference path in forward and backward.
 
 Measured on one v5e (round 2, chained-dependency timing — block_until_ready
 lies through this host's transfer tunnel, see CLAUDE.md / tools/bench_pallas.py):
@@ -265,12 +268,20 @@ def _cc_bwd(interpret, res, dy):
                     build_scatter_matrix(h, ww), 128, 128, 8, interpret)
     dx = dx.reshape(x.shape).astype(x.dtype)
 
-    # dw[k] = sum_n (A_k x[n])^T dy[n]; db = sum dy.
-    a = jnp.asarray(build_selection_matrix(h, ww), x.dtype)  # [9*rows, rows]
+    # dw[k] = sum_{n,p} (A_k x)[n,p] dy[n,p]^T.  Fold A_k into dy instead of
+    # x (dy_k = A_k^T dy) so the 9x selection-expanded activations never
+    # materialize — at production shapes (rows=294, Cin up to 4000) that
+    # expansion is hundreds of MB per conv per scan step.  lax.map keeps one
+    # [n, rows, Cout] temporary live at a time.
+    a = jnp.asarray(build_selection_matrix(h, ww), x.dtype).reshape(9, rows, rows)
     x2 = x.reshape(n, rows, cin)
-    xs = jnp.einsum("kq,nqc->nkc", a, x2).reshape(n, 9, rows, cin)
-    dw = jnp.einsum("nkpc,npo->kco", xs, dy2,
-                    preferred_element_type=jnp.float32)
+
+    def _tap_dw(a_k):
+        dy_k = jnp.einsum("pq,npo->nqo", a_k, dy2)
+        return jnp.einsum("nqc,nqo->co", x2, dy_k,
+                          preferred_element_type=jnp.float32)
+
+    dw = jax.lax.map(_tap_dw, a)  # [9, Cin, Cout]
     dw = dw.reshape(3, 3, cin, cout).astype(w.dtype)
     db = jnp.sum(dy2, axis=(0, 1), dtype=jnp.float32).astype(w.dtype)
     return dx, dw, db

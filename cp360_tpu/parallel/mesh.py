@@ -45,6 +45,14 @@ def maybe_init_distributed(log_fn=print) -> bool:
         return False
     if getattr(maybe_init_distributed, "_done", False):
         return True
+    try:
+        # Cross-process collectives on the CPU backend need gloo (TPU/GPU
+        # transports are XLA's own); this config is CPU-only so it is a
+        # no-op for real-chip runs.
+        if "cpu" in str(jax.config.jax_platforms or ""):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     coord = os.environ.get("CP360_COORDINATOR")
     nproc = os.environ.get("CP360_NUM_PROCESSES")
     pid = os.environ.get("CP360_PROCESS_ID")
@@ -122,8 +130,17 @@ def clstm_param_sharding(mesh: Mesh, params: dict) -> dict:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch with the leading dim split along data."""
+    """Device-put a host batch with the leading dim split along data.
+
+    Single-process: ``tree`` is the full global batch.  Multi-process (after
+    :func:`maybe_init_distributed`): each process passes only the rows IT
+    loaded — ``global_batch / process_count`` of them, in process-id order —
+    and the processes jointly assemble the global sharded array (per-host
+    data feeding; no host ever holds the whole batch).
+    """
     n_data = mesh.shape.get(DATA_AXIS, 1)
+    if jax.process_count() > 1:
+        return shard_batch_per_host(mesh, tree)
     for leaf in jax.tree.leaves(tree):
         if leaf.shape[0] % n_data:
             raise ValueError(
@@ -132,3 +149,36 @@ def shard_batch(mesh: Mesh, tree):
                 f"mesh_data"
             )
     return jax.device_put(tree, data_sharding(mesh))
+
+
+def shard_batch_per_host(mesh: Mesh, tree):
+    """Assemble a global data-sharded batch from per-process local rows.
+
+    Every process contributes the contiguous slice of the global batch that
+    lands on its own devices (mesh rows are laid out in device-id order, so
+    process p's slice is rows ``[p * local, (p + 1) * local)``).
+    """
+    sh = data_sharding(mesh)
+
+    def put(leaf):
+        return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
+
+    return jax.tree.map(put, tree)
+
+
+def device_put_global(tree, shardings):
+    """``jax.device_put`` that also works when shardings span processes.
+
+    Multi-process: every process must pass identical host values (e.g. the
+    same-seed init or a checkpoint read by all hosts); each process creates
+    only its addressable shards via ``make_array_from_callback``.
+    Single-process it is exactly ``jax.device_put``.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)

@@ -137,6 +137,8 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                 fbatch = []
         if fbatch:
             yield from process_frame_batch(fbatch)
-        cap.release()
     finally:
+        # in finally so an abandoned generator / mid-stream exception cannot
+        # leak the cv2 capture handle
+        cap.release()
         remap_pool.shutdown(wait=True)
