@@ -83,6 +83,11 @@ class Config:
     keep_checkpoints: int = 0  # prune CLSTM_* weight snapshots beyond the
     #   newest N (0 = keep all, the reference behaviour); the full train
     #   state always keeps only the latest
+    pipeline_stages: int = 1  # >1: pipeline the ConvLSTM recurrence over
+    #   this many devices (must divide seq_len); streaming/stream CLI route
+    #   window batches through parallel/pipeline.py
+    pipeline_microbatches: int = 4  # window microbatches in flight through
+    #   the pipe (clamped to divide the actual window count)
 
     @property
     def frame_hw(self):

@@ -28,7 +28,10 @@ from cp360_tpu.pipelines.extract import (
     host_equi_to_cube_u8,
     stage1_batch_faces,
 )
-from cp360_tpu.pipelines.temporal import window_infer_from_frames
+from cp360_tpu.pipelines.temporal import (
+    window_infer_from_frames,
+    window_infer_from_frames_pipelined,
+)
 
 
 def stream_video_saliency(
@@ -64,12 +67,28 @@ def stream_video_saliency(
     if max_frames is not None:
         total = min(total, max_frames)
 
+    # pipeline parallelism (config key pipeline_stages): the per-window
+    # recurrence pipelines its seq_len time steps over a 1-D device mesh,
+    # window batches flowing through as microbatches (parallel/pipeline.py)
+    pipe_mesh = None
+    if cfg.pipeline_stages > 1:
+        if seq_len % cfg.pipeline_stages:
+            cap.release()
+            raise ValueError(
+                f"pipeline_stages={cfg.pipeline_stages} must divide "
+                f"seq_len={seq_len} (each stage runs seq_len/stages steps)"
+            )
+        from cp360_tpu.parallel.pipeline import make_pipe_mesh
+
+        pipe_mesh = make_pipe_mesh(cfg.pipeline_stages)
+
     return _stream_frames(backbone_params, clstm_params, cfg, arch,
-                          stage1_batch, cap, total, seq_len, compute_dtype, wh)
+                          stage1_batch, cap, total, seq_len, compute_dtype, wh,
+                          pipe_mesh)
 
 
 def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
-                   cap, total, seq_len, compute_dtype, wh):
+                   cap, total, seq_len, compute_dtype, wh, pipe_mesh=None):
 
     carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
     carry_cnts: list = []
@@ -94,13 +113,26 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
         n_windows = n - seq_len + 1
         if n_windows > 0:
             positions = jnp.arange(n_windows, dtype=jnp.int32)
-            preds = np.asarray(
-                window_infer_from_frames(
-                    clstm_params, frames_dev, positions, seq_len=seq_len,
-                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-                    conv_impl=cfg.clstm_conv_impl,
+            if pipe_mesh is not None:
+                import math
+
+                n_micro = max(1, math.gcd(n_windows, cfg.pipeline_microbatches))
+                preds = np.asarray(
+                    window_infer_from_frames_pipelined(
+                        clstm_params, frames_dev, positions, pipe_mesh,
+                        n_micro, seq_len=seq_len, use_cube_pad=cfg.cube_pad,
+                        compute_dtype=compute_dtype,
+                        conv_impl=cfg.clstm_conv_impl,
+                    )
                 )
-            )
+            else:
+                preds = np.asarray(
+                    window_infer_from_frames(
+                        clstm_params, frames_dev, positions, seq_len=seq_len,
+                        use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                        conv_impl=cfg.clstm_conv_impl,
+                    )
+                )
             for k in range(n_windows):
                 # id matches the offline saved/GT numbering
                 # ({position + seq_len - 1:05}, test_temporal.py:86-88):

@@ -29,6 +29,30 @@ import numpy as np
 from cp360_tpu.metrics import saliency as M
 from cp360_tpu.models.clstm import clstm_rollout
 from cp360_tpu.ops.resample import cube_to_equi
+from cp360_tpu.parallel.pipeline import pipelined_rollout
+
+
+def _normalize_windows(windows: jax.Array):
+    """Joint per-window min/max normalization -> time-major face-flattened
+    sequence [T, B*6, h, w, C] (the published protocol's input form)."""
+    windows = windows.astype(jnp.float32)
+    b, t = windows.shape[0], windows.shape[1]
+    mn = jnp.min(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
+    mx = jnp.max(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
+    # Deliberate divergence: the reference NaNs on a constant window
+    # (test_temporal.py:66-71 divides by max-min == 0); here a constant
+    # window normalizes to zeros so saved artifacts stay finite.
+    denom = jnp.where(mx > mn, mx - mn, 1.0)
+    norm = (windows - mn) / denom
+    return jnp.moveaxis(norm, 1, 0).reshape(t, b * 6, *windows.shape[3:]), b
+
+
+def _project_hidden(h_final: jax.Array, b: int) -> jax.Array:
+    """Final hidden cube -> channel-max equi map [B, 2h, 4w]
+    (test_temporal.py:82-85)."""
+    cubes = h_final.reshape(b, 6, *h_final.shape[1:])
+    equi = cube_to_equi(cubes)  # [B, 2h, 4w, C]
+    return jnp.max(equi, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("use_cube_pad", "compute_dtype", "conv_impl"))
@@ -47,26 +71,62 @@ def window_infer(
 
     Returns [B, 2h, 4w] equi saliency predictions (f32).
     """
-    windows = windows.astype(jnp.float32)
-    b, t = windows.shape[0], windows.shape[1]
-    mn = jnp.min(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
-    mx = jnp.max(windows, axis=(1, 2, 3, 4, 5), keepdims=True)
-    # Deliberate divergence: the reference NaNs on a constant window
-    # (test_temporal.py:66-71 divides by max-min == 0); here a constant
-    # window normalizes to zeros so saved artifacts stay finite.
-    denom = jnp.where(mx > mn, mx - mn, 1.0)
-    norm = (windows - mn) / denom
-
-    x = jnp.moveaxis(norm, 1, 0).reshape(t, b * 6, *windows.shape[3:])
+    x, b = _normalize_windows(windows)
     h0 = c0 = x[0]
     _, h_final, _ = clstm_rollout(
         params, x, h0, c0, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
         conv_impl=conv_impl,
     )
+    return _project_hidden(h_final, b)
 
-    cubes = h_final.reshape(b, 6, *h_final.shape[1:])
-    equi = cube_to_equi(cubes)  # [B, 2h, 4w, C]
-    return jnp.max(equi, axis=-1)
+
+def window_infer_pipelined(
+    params: dict,
+    windows: jax.Array,
+    pipe_mesh,
+    n_micro: int,
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+    conv_impl: str = "xla",
+) -> jax.Array:
+    """:func:`window_infer` with the recurrence PIPELINED over devices.
+
+    The window protocol is a T=seq_len recurrence per window, so the pipe
+    maps time steps onto stages: device p runs steps [p*T/P, (p+1)*T/P) and
+    window-microbatches flow through the stages via ``lax.ppermute``
+    (parallel/pipeline.py) — microbatch m is in stage p while m+1 is in
+    stage p-1.  Exactly equal to :func:`window_infer` (same op order, same
+    state chain); requires T % pipe_size == 0 and n_micro | B.
+    """
+    x, b = _normalize_windows(windows)
+    h0 = c0 = x[0]
+    _, h_final, _ = pipelined_rollout(
+        params, x, h0, c0, pipe_mesh, n_micro,
+        use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
+        conv_impl=conv_impl,
+    )
+    return _project_hidden(h_final, b)
+
+
+def window_infer_from_frames_pipelined(
+    params: dict,
+    frames: jax.Array,
+    positions: jax.Array,
+    pipe_mesh,
+    n_micro: int,
+    seq_len: int = 5,
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+    conv_impl: str = "xla",
+) -> jax.Array:
+    """Pipelined form of :func:`window_infer_from_frames` (same on-device
+    window assembly, recurrence pipelined over the pipe mesh)."""
+    idx = positions[:, None] + jnp.arange(seq_len)[None, :]
+    windows = frames[idx]
+    return window_infer_pipelined(
+        params, windows, pipe_mesh, n_micro, use_cube_pad=use_cube_pad,
+        compute_dtype=compute_dtype, conv_impl=conv_impl,
+    )
 
 
 @partial(jax.jit, static_argnames=("seq_len", "use_cube_pad", "compute_dtype", "conv_impl"))

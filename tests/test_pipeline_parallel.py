@@ -35,6 +35,60 @@ def test_pipelined_matches_serial(setup, n_pipe, n_micro):
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=1e-6)
 
 
+def test_window_infer_pipelined_matches_serial():
+    """The product-surface form (pipelines/temporal.py): the published
+    window protocol with its seq_len=5 recurrence pipelined over 5 stages."""
+    from cp360_tpu.pipelines.temporal import window_infer, window_infer_pipelined
+
+    params = init_clstm_params(jax.random.PRNGKey(1), 8, 8)
+    rng = np.random.RandomState(3)
+    windows = jnp.asarray(rng.rand(4, 5, 6, 7, 7, 8).astype(np.float32))
+
+    want = np.asarray(window_infer(params, windows, compute_dtype=jnp.float32))
+    mesh = make_pipe_mesh(5)
+    got = np.asarray(window_infer_pipelined(
+        params, windows, mesh, n_micro=2, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stream_pipeline_stages_matches_serial(tmp_path):
+    """Config key pipeline_stages routes the streaming pipeline onto the
+    pipe mesh; outputs identical to the serial streaming path."""
+    cv2 = pytest.importorskip("cv2")
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.resnet import init_resnet_params
+    from cp360_tpu.pipelines.stream import stream_video_saliency
+
+    path = str(tmp_path / "v.mp4")
+    rng = np.random.RandomState(5)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = (rng.rand(128, 256, 3) * 255).astype(np.uint8)
+    for t in range(12):
+        vw.write(np.roll(base, 9 * t, axis=1))
+    vw.release()
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=5,
+                 compute_dtype="float32", opt_flow=False)
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+
+    serial = dict(stream_video_saliency(backbone, clstm, path, cfg,
+                                        arch="resnet18", stage1_batch=4))
+    piped = dict(stream_video_saliency(
+        backbone, clstm, path, cfg.replace(pipeline_stages=5),
+        arch="resnet18", stage1_batch=4))
+    assert sorted(piped) == sorted(serial)
+    for k in serial:
+        np.testing.assert_allclose(piped[k], serial[k], atol=1e-4)
+
+    # stages that don't divide seq_len fail with a clear error
+    with pytest.raises(ValueError, match="must divide"):
+        list(stream_video_saliency(backbone, clstm, path,
+                                   cfg.replace(pipeline_stages=3),
+                                   arch="resnet18"))
+
+
 def test_pipelined_validates_divisibility(setup):
     params, seq, h0, c0 = setup
     mesh = make_pipe_mesh(4)

@@ -103,6 +103,21 @@ def test_stream_cli_writes_offline_compatible_maps(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=1e-5)
 
+    # --set pipeline_stages=5 routes the SAME CLI invocation through the
+    # pipe mesh (parallel/pipeline.py) with identical outputs
+    out_pp = str(tmp_path / "sal_pp")
+    stream_main([
+        "--video", path, "--backbone", str(tmp_path / "bb.npz"),
+        "--clstm", str(tmp_path / "cl.npz"), "--out", out_pp,
+        "--arch", "resnet18", "--stage1-batch", "4", "--config", cfg_path,
+        "--set", "pipeline_stages=5",
+    ])
+    got_pp = {int(f[:-4]): np.load(os.path.join(out_pp, f))
+              for f in os.listdir(out_pp) if f.endswith(".npy")}
+    assert sorted(got_pp) == sorted(want)
+    for k in want:
+        np.testing.assert_allclose(got_pp[k], want[k], atol=1e-4)
+
 
 def test_missing_video_raises_clearly(tmp_path):
     from cp360_tpu.config import Config
