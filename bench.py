@@ -97,6 +97,11 @@ def main():
     jax.device_get(pending)
     pool.shutdown(wait=False)
     fps = batch / float(np.median(times))
+    # spread over completed iterations — the tunnel's documented variance
+    # (CLAUDE.md) makes a single number misleading; docs must quote the
+    # driver-captured artifact, median AND spread
+    fps_min = batch / float(np.max(times))
+    fps_max = batch / float(np.min(times))
 
     baseline_fps = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
@@ -109,6 +114,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s (equi 960x1920 -> CAM cube + saliency, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "spread": [round(fps_min, 3), round(fps_max, 3)],
+        "n_iters": len(times),
     }
     print(json.dumps(result))
 

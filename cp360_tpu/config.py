@@ -83,6 +83,11 @@ class Config:
     keep_checkpoints: int = 0  # prune CLSTM_* weight snapshots beyond the
     #   newest N (0 = keep all, the reference behaviour); the full train
     #   state always keeps only the latest
+    upload_format: str = "rgb8"  # stage-1 face upload: 'rgb8' (exact) |
+    #   'yuv420' (BT.601 + 2x2 chroma subsample — halves H2D bytes; error
+    #   ~1/255 mean on natural frames, bounded in tests/test_extract.py)
+    upload_depth: int = 2  # H2D batches in flight ahead of compute (a
+    #   dedicated upload thread device_puts batch k+depth while k computes)
     pipeline_stages: int = 1  # >1: pipeline the ConvLSTM recurrence over
     #   this many devices (must divide seq_len); streaming/stream CLI route
     #   window batches through parallel/pipeline.py

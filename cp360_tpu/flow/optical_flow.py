@@ -80,43 +80,127 @@ def calc_optical_flow(
 # TPU-native multi-scale Horn-Schunck
 # ---------------------------------------------------------------------------
 
-_HS_KERNEL = jnp.array(
-    [[1 / 12, 1 / 6, 1 / 12], [1 / 6, 0.0, 1 / 6], [1 / 12, 1 / 6, 1 / 12]],
-    dtype=jnp.float32,
-)
+# All small stencils below are EXPLICIT shift/multiply-add chains, not convs
+# or interpolation matmuls: on this TPU, f32 matmuls/convs run at default
+# (single-pass bf16) MXU precision, and the rounding compounds across the
+# solver's hundreds of Jacobi iterations — measured EPE 0.58 on-device vs
+# 0.003 on CPU for the identical conv-based program.  Element-wise VPU ops
+# are exact f32, and at 3x3/5-tap sizes they are also faster than an MXU
+# dispatch.
+
+
+def _shift2(u: jax.Array, dy: int, dx: int) -> jax.Array:
+    """u shifted so out[y, x] = u[y + dy, x + dx], edges clamped."""
+    h, w = u.shape
+    up = jnp.pad(u, ((1, 1), (1, 1)), mode="edge")
+    return jax.lax.dynamic_slice(up, (1 + dy, 1 + dx), (h, w))
 
 
 def _avg_neighbors(u: jax.Array) -> jax.Array:
-    """Weighted neighborhood average (Horn-Schunck Laplacian surrogate)."""
+    """Weighted neighborhood average (Horn-Schunck Laplacian surrogate):
+    1/6 edge neighbors + 1/12 diagonal neighbors."""
+    h, w = u.shape
     up = jnp.pad(u, ((1, 1), (1, 1)), mode="edge")
-    k = _HS_KERNEL
-    return (
-        jax.lax.conv_general_dilated(
-            up[None, :, :, None],
-            k[:, :, None, None],
-            (1, 1),
-            "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )[0, :, :, 0]
-    )
+
+    def s(dy, dx):
+        return jax.lax.dynamic_slice(up, (1 + dy, 1 + dx), (h, w))
+
+    edge = s(-1, 0) + s(1, 0) + s(0, -1) + s(0, 1)
+    diag = s(-1, -1) + s(-1, 1) + s(1, -1) + s(1, 1)
+    return edge * (1 / 6) + diag * (1 / 12)
 
 
-def _hs_single_scale(i1, i2, u, v, alpha, iters):
-    ix = (jnp.roll(i1, -1, 1) - jnp.roll(i1, 1, 1)) * 0.5
-    iy = (jnp.roll(i1, -1, 0) - jnp.roll(i1, 1, 0)) * 0.5
-    it = i2 - i1
+def _binom5_axis(img: jax.Array, axis: int) -> jax.Array:
+    """[1, 4, 6, 4, 1]/16 along one axis, edges clamped (shift/add form)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (2, 2)
+    up = jnp.pad(img, pad, mode="edge")
+    h, w = img.shape
+
+    def s(d):
+        start = [0, 0]
+        start[axis] = 2 + d
+        return jax.lax.dynamic_slice(up, start, (h, w))
+
+    return (s(-2) + s(2)) * (1 / 16) + (s(-1) + s(1)) * (4 / 16) + s(0) * (6 / 16)
+
+
+def _gauss5(img: jax.Array) -> jax.Array:
+    """5x5 binomial pre-smoothing (stabilizes the derivative estimates)."""
+    return _binom5_axis(_binom5_axis(img, 0), 1)
+
+
+def _median3(u: jax.Array) -> jax.Array:
+    """3x3 median filter — kills the flow outliers each warp iteration
+    introduces at occlusion boundaries (the classic MedianFilter step of
+    warping-based flow)."""
+    up = jnp.pad(u, ((1, 1), (1, 1)), mode="edge")
+    stack = jnp.stack([up[dy:dy + u.shape[0], dx:dx + u.shape[1]]
+                       for dy in range(3) for dx in range(3)])
+    return jnp.median(stack, axis=0)
+
+
+def _grad(img: jax.Array):
+    ix = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
+    iy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+    return ix, iy
+
+
+def _warp_valid(img: jax.Array, u: jax.Array, v: jax.Array):
+    """Warp with border-CLAMPED bilinear sampling + in-bounds mask.
+
+    Zero-padding here (as torch-style grid_sample does) poisons the data
+    term: pixels whose sample leaves the frame see a huge spurious
+    brightness difference that the smoothness term then diffuses tens of
+    pixels inward (measured: multi-warp EPE *worse* than single-pass until
+    this mask existed)."""
+    h, w = img.shape
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    sx = gx + u
+    sy = gy + v
+    valid = ((sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)).astype(jnp.float32)
+    sx = jnp.clip(sx, 0.0, w - 1.0)
+    sy = jnp.clip(sy, 0.0, h - 1.0)
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    fx = sx - x0f
+    fy = sy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    flat = img.reshape(-1)
+
+    def g(yi, xi):
+        return flat[yi * w + xi]
+
+    out = (g(y0, x0) * (1 - fx) * (1 - fy) + g(y0, x1) * fx * (1 - fy)
+           + g(y1, x0) * (1 - fx) * fy + g(y1, x1) * fx * fy)
+    return out, valid
+
+
+def _hs_increment(a, bw, valid, u0, v0, alpha, iters):
+    """Jacobi iterations for the TOTAL flow with the data term linearized
+    at (u0, v0): bw is the second frame pre-warped by (u0, v0), derivatives
+    average both frames, out-of-frame samples carry zero data weight."""
+    ax, ay = _grad(a)
+    bx, by = _grad(bw)
+    ix = 0.5 * (ax + bx) * valid
+    iy = 0.5 * (ay + by) * valid
+    it = (bw - a) * valid
+    den = alpha**2 + ix**2 + iy**2
 
     def body(_, uv):
         u, v = uv
         ubar = _avg_neighbors(u)
         vbar = _avg_neighbors(v)
-        num = ix * ubar + iy * vbar + it
-        den = alpha**2 + ix**2 + iy**2
+        num = ix * (ubar - u0) + iy * (vbar - v0) + it
         u = ubar - ix * num / den
         v = vbar - iy * num / den
         return (u, v)
 
-    return jax.lax.fori_loop(0, iters, body, (u, v))
+    return jax.lax.fori_loop(0, iters, body, (u0, v0))
 
 
 def _downsample2(img: jax.Array) -> jax.Array:
@@ -124,30 +208,73 @@ def _downsample2(img: jax.Array) -> jax.Array:
     return img[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean((1, 3))
 
 
+def _up2_axis(x: jax.Array, axis: int, n_out: int) -> jax.Array:
+    """2x bilinear upsample along one axis (box-center convention: output
+    k samples input position (k - 0.5) / 2), shift/interleave form —
+    handles n_out in {2n, 2n+1} (odd pyramid levels) by edge replication."""
+    n = x.shape[axis]
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (1, 1)
+    up = jnp.pad(x, pad, mode="edge")
+    h, w = x.shape
+
+    def s(d):
+        start = [0, 0]
+        start[axis] = 1 + d
+        return jax.lax.dynamic_slice(up, start, (h, w))
+
+    even = x * 0.75 + s(-1) * 0.25  # out[2i]
+    odd = x * 0.75 + s(1) * 0.25  # out[2i + 1]
+    inter = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    inter = inter.reshape(new_shape)
+    if n_out == 2 * n:
+        return inter
+    if n_out > 2 * n:  # odd source level: replicate the last edge rows
+        reps = jnp.repeat(jnp.take(inter, jnp.asarray([2 * n - 1]), axis=axis),
+                          n_out - 2 * n, axis=axis)
+        return jnp.concatenate([inter, reps], axis=axis)
+    return jax.lax.slice_in_dim(inter, 0, n_out, axis=axis)
+
+
 def _upsample2(img: jax.Array, out_h: int, out_w: int) -> jax.Array:
-    from cp360_tpu.ops.resample import resize_bilinear
-
-    return resize_bilinear(img[None, :, :, None], out_h, out_w)[0, :, :, 0]
+    return _up2_axis(_up2_axis(img, 0, out_h), 1, out_w)
 
 
-@partial(jax.jit, static_argnames=("levels", "iters"))
+@partial(jax.jit, static_argnames=("levels", "iters", "n_warp", "presmooth", "median"))
 def horn_schunck_flow(
     prev_gray: jax.Array,
     cur_gray: jax.Array,
-    alpha: float = 0.5,
-    levels: int = 4,
-    iters: int = 60,
+    alpha: float = 0.1,
+    levels: int = 5,
+    iters: int = 100,
+    n_warp: int = 2,
+    presmooth: bool = True,
+    median: bool = True,
 ) -> jax.Array:
     """Dense flow [H, W, 2] (dx, dy) between two grayscale images on device.
 
-    Coarse-to-fine Horn-Schunck: solve at the coarsest pyramid level, 2x
-    upsample the flow (values doubled) as the next level's init.
+    Coarse-to-fine Horn-Schunck with warping: per level, ``n_warp`` rounds
+    of (warp frame 2 by the current flow -> Jacobi-solve the linearized
+    data term for the total flow -> 3x3 median filter), the result 2x
+    upsampled (values doubled) as the next level's init.  Derivatives
+    average both (warped) frames; out-of-frame warp samples get zero data
+    weight (see :func:`_warp_valid`).
 
-    ``alpha`` is the smoothness weight in *intensity units*: ~0.5 suits
+    ``alpha`` is the smoothness weight in *intensity units*: ~0.1 suits
     [0, 1]-scaled images; scale it by 255 for uint8-range inputs.
+
+    Round-3 defaults, measured on the synthetic known-motion scenes
+    (tools/flow_backend_report.py, width 480): EPE 0.003/0.121/0.055
+    (translation/patch/rotation) vs Farneback's 0.044/0.078/0.087, motion-
+    mask TNR at the shipped mm_th 0.939 (Farneback 0.972) — vs the round-2
+    solver's 0.29-0.49 EPE / 0.854 TNR.
     """
     i1 = prev_gray.astype(jnp.float32)
     i2 = cur_gray.astype(jnp.float32)
+    if presmooth:
+        i1, i2 = _gauss5(i1), _gauss5(i2)
     pyr = [(i1, i2)]
     for _ in range(levels - 1):
         i1 = _downsample2(i1)
@@ -161,26 +288,12 @@ def horn_schunck_flow(
         if u.shape != a.shape:
             u = _upsample2(u, *a.shape) * 2.0
             v = _upsample2(v, *a.shape) * 2.0
-        # warp b toward a by current flow before refining
-        if li < levels - 1:
-            b = _warp_gray(b, u, v)
-            du, dv = _hs_single_scale(a, b, jnp.zeros_like(u), jnp.zeros_like(v), alpha, iters)
-            u = u + du
-            v = v + dv
-        else:
-            u, v = _hs_single_scale(a, b, u, v, alpha, iters)
+        for _ in range(n_warp):
+            bw, valid = _warp_valid(b, u, v)
+            u, v = _hs_increment(a, bw, valid, u, v, alpha, iters)
+            if median:
+                u, v = _median3(u), _median3(v)
     return jnp.stack([u, v], axis=-1)
-
-
-def _warp_gray(img: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
-    from cp360_tpu.ops.resample import grid_sample
-
-    h, w = img.shape
-    gy, gx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    nx = 2.0 * (gx + u) / (w - 1) - 1.0
-    ny = 2.0 * (gy + v) / (h - 1) - 1.0
-    grid = jnp.stack([nx, ny], axis=-1)[None]
-    return grid_sample(img[None, :, :, None], grid)[0, :, :, 0]
 
 
 def calc_optical_flow_device(

@@ -107,6 +107,98 @@ def host_equi_to_cube_u8(frame_u8: np.ndarray, cube_dim: int) -> np.ndarray:
     return faces
 
 
+# --- 4:2:0 chroma-subsampled upload (halves H2D bytes) ---------------------
+#
+# The transfer tunnel, not FLOPs, bounds stage 1 (~0.9 MB/frame of u8 faces
+# at ~40 MB/s).  BT.601 full-range YUV with 2x2-subsampled chroma carries the
+# same faces in ~0.45 MB: Y [6,cd,cd] u8 + UV [6,cd/2,cd/2,2] u8.  The
+# device reconstructs RGB (bilinear chroma upsample); reconstruction error
+# is u8-rounding + chroma-edge loss, bounded by tests/test_extract.py and
+# tools/bench_upload.py against the exact-RGB path.
+
+_YUV_M = np.array(
+    [[0.299, 0.587, 0.114],        # Y
+     [-0.168736, -0.331264, 0.5],  # U (Cb)
+     [0.5, -0.418688, -0.081312]], # V (Cr)
+    np.float32,
+)
+
+
+def host_rgb_to_yuv420(faces_u8: np.ndarray):
+    """[..., h, w, 3] u8 RGB -> (Y [..., h, w] u8, UV [..., h/2, w/2, 2] u8).
+
+    Full-range BT.601; chroma is 2x2 box-averaged before quantization."""
+    f = faces_u8.astype(np.float32)
+    y = f @ _YUV_M[0]
+    u = f @ _YUV_M[1] + 128.0
+    v = f @ _YUV_M[2] + 128.0
+    uv = np.stack([u, v], axis=-1)
+    sh = uv.shape
+    h, w = sh[-3], sh[-2]
+    uv = uv.reshape(*sh[:-3], h // 2, 2, w // 2, 2, 2).mean(axis=(-4, -2))
+    return (np.clip(y + 0.5, 0, 255).astype(np.uint8),
+            np.clip(uv + 0.5, 0, 255).astype(np.uint8))
+
+
+def _device_yuv420_to_rgb01(y_u8: jax.Array, uv_u8: jax.Array) -> jax.Array:
+    """Inverse of :func:`host_rgb_to_yuv420` on device -> float RGB in [0,1].
+
+    Chroma upsamples bilinearly (align_corners-style on the 2x2 box grid:
+    each output pixel interpolates the box centers, edge-clamped)."""
+    y = y_u8.astype(jnp.float32)
+    uv = uv_u8.astype(jnp.float32) - 128.0
+    *lead, h2, w2, _ = uv.shape
+    uv_flat = uv.reshape(-1, h2, w2, 2)
+    # box centers sit at (2i+0.5, 2j+0.5); output pixel k samples at
+    # (k - 0.5) / 2 in box coordinates
+    def up_axis(x, axis, n_out):
+        pos = (jnp.arange(n_out, dtype=jnp.float32) - 0.5) / 2.0
+        i0 = jnp.clip(jnp.floor(pos), 0, x.shape[axis] - 1).astype(jnp.int32)
+        i1 = jnp.clip(i0 + 1, 0, x.shape[axis] - 1)
+        frac = jnp.clip(pos - i0, 0.0, 1.0)
+        a = jnp.take(x, i0, axis=axis)
+        b = jnp.take(x, i1, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = n_out
+        frac = frac.reshape(shape)
+        return a * (1 - frac) + b * frac
+
+    up = up_axis(up_axis(uv_flat, 1, h2 * 2), 2, w2 * 2)
+    up = up.reshape(*lead, h2 * 2, w2 * 2, 2)
+    u, v = up[..., 0], up[..., 1]
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0.0, 255.0) / 255.0
+
+
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype"))
+def stage1_batch_faces_yuv(
+    params: dict,
+    y_u8: jax.Array,
+    uv_u8: jax.Array,
+    arch: str = "resnet50",
+    use_cube_pad: bool = True,
+    compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.float16,
+):
+    """:func:`stage1_batch_faces` fed by 4:2:0 planes (half the H2D bytes).
+
+    Args:
+      y_u8: [N, 6, cd, cd] uint8 luma.
+      uv_u8: [N, 6, cd/2, cd/2, 2] uint8 chroma (Cb, Cr offset by 128).
+    """
+    cubes = _device_yuv420_to_rgb01(y_u8, uv_u8)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    cubes = (cubes - mean) / std
+    scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
+    equi_scores = cube_to_equi(scores)
+    sal = jnp.max(equi_scores, axis=-1) ** 2
+    return scores.astype(out_dtype), sal
+
+
 @partial(jax.jit, static_argnames=("cube_dim", "arch", "use_cube_pad", "compute_dtype"))
 def stage1_batch(
     params: dict,
@@ -305,27 +397,66 @@ def extract_video(
             written += 1
 
     out_dtype = jnp.float16 if cfg.feat_dtype == "float16" else jnp.float32
+    yuv = cfg.host_cube_remap and cfg.upload_format == "yuv420"
 
-    def submit(batch):
-        cnts = [b[0] for b in batch]
+    def upload(batch):
+        """Assemble + H2D one batch (runs on the dedicated upload thread so
+        batch k+depth transfers while batch k computes — distinct buffers
+        per batch, which also matters because the tunnel dedups repeats)."""
         if cfg.host_cube_remap:
             done = [b[4].result() for b in batch]  # remapped at decode time
+            if yuv:
+                ys = np.stack([d[0] for d in done]
+                              + [done[-1][0]] * (batch_frames - len(batch)))
+                uvs = np.stack([d[1] for d in done]
+                               + [done[-1][1]] * (batch_frames - len(batch)))
+                return _shard_in(ys), _shard_in(uvs)
             faces = np.stack(done + [done[-1]] * (batch_frames - len(batch)))
-            scores_dev, sal_dev = stage1_batch_faces(
-                params, _shard_in(faces), arch=arch,
-                use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-                out_dtype=out_dtype,
-            )
+            return (_shard_in(faces),)
+        frames_u8 = np.stack([b[1] for b in batch])
+        if len(batch) < batch_frames:  # pad the tail, keep shapes static
+            reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
+            frames_u8 = np.concatenate([frames_u8, reps], axis=0)
+        return (_shard_in(frames_u8),)
+
+    def compute(batch, dev_arrays):
+        cnts = [b[0] for b in batch]
+        if cfg.host_cube_remap:
+            if yuv:
+                scores_dev, sal_dev = stage1_batch_faces_yuv(
+                    params, *dev_arrays, arch=arch,
+                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                    out_dtype=out_dtype,
+                )
+            else:
+                scores_dev, sal_dev = stage1_batch_faces(
+                    params, *dev_arrays, arch=arch,
+                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                    out_dtype=out_dtype,
+                )
         else:
-            frames_u8 = np.stack([b[1] for b in batch])
-            if len(batch) < batch_frames:  # pad the tail, keep shapes static
-                reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
-                frames_u8 = np.concatenate([frames_u8, reps], axis=0)
             scores_dev, sal_dev = stage1_batch(
-                params, _shard_in(frames_u8), cube_dim=cfg.cube_dim,
+                params, *dev_arrays, cube_dim=cfg.cube_dim,
                 arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
             )
         return (cnts, scores_dev, sal_dev, [b[2] for b in batch], [b[3] for b in batch])
+
+    from collections import deque
+
+    upload_pool = ThreadPoolExecutor(max_workers=1)
+    upload_depth = max(1, cfg.upload_depth)
+    uploads: deque = deque()  # (batch, future of device arrays)
+
+    def remap_job(frame_u8):
+        faces = host_equi_to_cube_u8(frame_u8, cfg.cube_dim)
+        return host_rgb_to_yuv420(faces) if yuv else faces
+
+    def drain_one():
+        nonlocal pending
+        b, fut = uploads.popleft()
+        out = compute(b, fut.result())
+        flush(pending)
+        pending = out
 
     batch = []
     prev_bgr = None
@@ -351,23 +482,24 @@ def extract_video(
             flow = flow_pool.submit(
                 flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
             )
-        faces_fut = (remap_pool.submit(host_equi_to_cube_u8, frame_u8, cfg.cube_dim)
+        faces_fut = (remap_pool.submit(remap_job, frame_u8)
                      if remap_pool is not None else None)
         batch.append((cnt, frame_u8, pil_img, flow, faces_fut))
         prev_bgr = frame
 
         if len(batch) == batch_frames:
-            out = submit(batch)
-            flush(pending)
-            pending = out
+            uploads.append((batch, upload_pool.submit(upload, batch)))
             batch = []
+            if len(uploads) > upload_depth:
+                drain_one()
 
     if batch:
-        out = submit(batch)
-        flush(pending)
-        pending = out
+        uploads.append((batch, upload_pool.submit(upload, batch)))
+    while uploads:
+        drain_one()
     flush(pending)
     cap.release()
+    upload_pool.shutdown(wait=True)
     if flow_pool is not None:
         flow_pool.shutdown(wait=True)
     if remap_pool is not None:

@@ -48,12 +48,13 @@ def test_farneback_near_ground_truth(scenes, flows):
 
 
 def test_horn_schunck_usable(scenes, flows):
-    """The TPU Horn-Schunck is noisier but stays sub-pixel on average."""
+    """The TPU Horn-Schunck (round-3 warping solver) tracks Farneback:
+    EPE 0.004/0.298/0.034 at width 240 vs Farneback's 0.033/0.196/0.057."""
     for sname, (_, _, gt) in scenes.items():
-        assert epe(flows["horn_schunck"][sname], gt) < 0.9, sname
+        assert epe(flows["horn_schunck"][sname], gt) < 0.4, sname
 
 
-@pytest.mark.parametrize("backend,min_tnr", [("farneback", 0.90), ("horn_schunck", 0.70)])
+@pytest.mark.parametrize("backend,min_tnr", [("farneback", 0.90), ("horn_schunck", 0.84)])
 def test_motion_mask_at_shipped_threshold(scenes, flows, backend, min_tnr):
     """At the shipped mm_th=0.15 (config.yaml:41) both backends pass all
     moving pixels and suppress most static ones on the moving-patch scene."""
