@@ -113,11 +113,13 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
         n_windows = n - seq_len + 1
         if n_windows > 0:
             positions = jnp.arange(n_windows, dtype=jnp.int32)
+            from cp360_tpu.utils.transfer import fetch_np
+
             if pipe_mesh is not None:
                 import math
 
                 n_micro = max(1, math.gcd(n_windows, cfg.pipeline_microbatches))
-                preds = np.asarray(
+                preds = fetch_np(
                     window_infer_from_frames_pipelined(
                         clstm_params, frames_dev, positions, pipe_mesh,
                         n_micro, seq_len=seq_len, use_cube_pad=cfg.cube_pad,
@@ -126,7 +128,7 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                     )
                 )
             else:
-                preds = np.asarray(
+                preds = fetch_np(
                     window_infer_from_frames(
                         clstm_params, frames_dev, positions, seq_len=seq_len,
                         use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,

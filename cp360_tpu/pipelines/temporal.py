@@ -249,7 +249,9 @@ def infer_video(
             if pending is None:
                 return
             b0, valid, preds_dev = pending
-            preds = np.asarray(preds_dev)
+            from cp360_tpu.utils.transfer import fetch_np
+
+            preds = fetch_np(preds_dev)
             for k in range(valid):
                 out[b0 + k] = preds[k]
 
@@ -269,6 +271,9 @@ def infer_video(
                 seq_len=seq_len, use_cube_pad=use_cube_pad,
                 compute_dtype=compute_dtype, conv_impl=conv_impl,
             )
+            from cp360_tpu.utils.transfer import async_start
+
+            async_start(preds_dev)  # D2H overlaps the next batch's work
             flush(pending)
             pending = (b0, valid, preds_dev)
         flush(pending)

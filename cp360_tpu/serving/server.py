@@ -98,9 +98,11 @@ class SaliencyModel:
 
     def predict(self, frame_u8: np.ndarray) -> np.ndarray:
         """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32)."""
+        from cp360_tpu.utils.transfer import fetch_np
+
         with self._lock:
             _, sal = self._stage1(frame_u8)
-            return np.asarray(sal)
+            return fetch_np(sal)
 
     # ---- temporal streaming sessions ------------------------------------
 
@@ -160,7 +162,9 @@ class SaliencyModel:
                 compute_dtype=self._compute_dtype(),
                 conv_impl=self.cfg.clstm_conv_impl,
             )
-            return idx, np.asarray(sal[0])
+            from cp360_tpu.utils.transfer import fetch_np
+
+            return idx, fetch_np(sal)[0]
 
     def temporal_close(self, sid: str) -> None:
         with self._lock:

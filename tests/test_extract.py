@@ -82,6 +82,107 @@ def test_fast_path_close_to_exact_path(cfg):
     assert corr > 0.999
 
 
+def test_yuv420_roundtrip_bounded():
+    """BT.601 4:2:0 codec error on natural-spectrum frames is ~1/255 mean
+    (u8 rounding + chroma-edge loss); flat colors are near-exact."""
+    import jax.numpy as jnp
+
+    from cp360_tpu.pipelines.extract import (
+        _device_yuv420_to_rgb01,
+        host_rgb_to_yuv420,
+    )
+
+    # flat color: only u8 rounding
+    c = np.array([200, 30, 90], np.uint8)
+    flat = np.broadcast_to(c, (1, 1, 16, 16, 3)).copy()
+    y, uv = host_rgb_to_yuv420(flat)
+    rec = np.asarray(_device_yuv420_to_rgb01(jnp.asarray(y), jnp.asarray(uv))) * 255
+    assert np.abs(rec - flat).max() < 1.5
+
+    # natural-spectrum texture
+    rng = np.random.RandomState(0)
+    img = np.zeros((64, 64))
+    for scale in (4, 8, 16):
+        small = rng.rand(64 // scale + 2, 64 // scale + 2)
+        img += cv2.resize(small, (64, 64), interpolation=cv2.INTER_CUBIC) * scale
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    frame = np.stack([img, np.roll(img, 3, 0), np.roll(img, 7, 1)], -1)[None, None]
+    y, uv = host_rgb_to_yuv420(frame)
+    rec = np.asarray(_device_yuv420_to_rgb01(jnp.asarray(y), jnp.asarray(uv))) * 255
+    err = np.abs(rec - frame)
+    # tail error concentrates at chroma edges (inherent to 4:2:0); what the
+    # CNN sees is bounded by test_yuv420_extraction_close_to_rgb8
+    assert err.mean() < 4.0 and np.percentile(err, 99) < 25.0
+
+
+def _natural_frame(h, w, seed):
+    """Multi-scale smooth texture — a natural-image-like spectrum (the iid-
+    noise fixture above is the pathological worst case for 4:2:0: every
+    pixel has independent chroma, so box-averaging removes real signal)."""
+    rng = np.random.RandomState(seed)
+    img = np.zeros((h, w))
+    for scale in (4, 8, 16):
+        small = rng.rand(h // scale + 2, w // scale + 2)
+        img += cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC) * scale
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    return np.stack([img, np.roll(img, 2, 0), np.roll(img, 5, 1)], -1)
+
+
+@pytest.fixture(scope="module")
+def natural_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "natural.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    base = _natural_frame(128, 256, 7)
+    for t in range(7):
+        vw.write(np.roll(base, 3 * t, axis=1))
+    vw.release()
+    return path
+
+
+def test_yuv420_extraction_close_to_rgb8(natural_video, cfg, tmp_path):
+    """upload_format=yuv420 halves H2D bytes; on natural-spectrum frames the
+    artifacts stay within the codec's error bound of the exact-RGB path."""
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    cfg_nf = cfg.replace(opt_flow=False)
+    out_rgb = str(tmp_path / "rgb8")
+    extract_video(params, cfg_nf, natural_video, out_rgb, output_img=False,
+                  output_feature=True, output_motion=False,
+                  arch="resnet18", batch_frames=4)
+    out_yuv = str(tmp_path / "yuv")
+    extract_video(params, cfg_nf.replace(upload_format="yuv420"),
+                  natural_video, out_yuv, output_img=False,
+                  output_feature=True, output_motion=False,
+                  arch="resnet18", batch_frames=4)
+    names = sorted(os.listdir(os.path.join(out_rgb, "cube_feat")))
+    assert names == sorted(os.listdir(os.path.join(out_yuv, "cube_feat")))
+    for n in names:
+        a = np.load(os.path.join(out_rgb, "cube_feat", n))
+        b = np.load(os.path.join(out_yuv, "cube_feat", n))
+        denom = np.abs(a).max()
+        assert np.abs(a - b).max() / denom < 0.08, n
+        assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.998, n
+
+
+def test_upload_depth_one_matches_default(video, cfg, tmp_path):
+    """The depth of the H2D upload queue is a pure scheduling knob — the
+    artifacts are identical at any depth."""
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    cfg_nf = cfg.replace(opt_flow=False)
+    outs = []
+    for depth in (1, 3):
+        out = str(tmp_path / f"d{depth}")
+        extract_video(params, cfg_nf.replace(upload_depth=depth), video, out,
+                      output_img=False, output_feature=True,
+                      output_motion=False, arch="resnet18", batch_frames=2)
+        outs.append(out)
+    names = sorted(os.listdir(os.path.join(outs[0], "cube_feat")))
+    assert len(names) == 6
+    for n in names:
+        a = np.load(os.path.join(outs[0], "cube_feat", n))
+        b = np.load(os.path.join(outs[1], "cube_feat", n))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_feat_dtype_f16(video, tmp_path):
     cfg16 = Config(
         equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
