@@ -183,6 +183,7 @@ def infer_video(
     compute_dtype=jnp.bfloat16,
     mesh=None,
     conv_impl: str = "xla",
+    prefetch_depth: int = 3,
 ) -> Dict[int, np.ndarray]:
     """All window predictions for one video.
 
@@ -235,14 +236,22 @@ def infer_video(
         positions = np.minimum(np.arange(batch_windows), valid - 1).astype(np.int32)
         return b0, valid, frames, positions
 
-    # one-deep pipeline: batch k+1's artifacts read from disk while batch k
-    # transfers/computes, and batch k's predictions materialize only when
-    # batch k+1 is already dispatched (JAX async dispatch does the rest)
+    # prefetch ring: up to ``prefetch_depth`` batches of artifacts are read
+    # from disk ahead of the compute stream, riding out the tunnel's
+    # multi-second latency spikes; H2D is deferred-device_put (cheap at
+    # call time) and D2H is async from dispatch (utils/transfer.py), so
+    # disk read / H2D / compute / D2H of neighboring batches all overlap
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     starts = list(range(0, n_windows, batch_windows))
-    with ThreadPoolExecutor(max_workers=1) as io_pool:
-        fut = io_pool.submit(prepare, starts[0])
+    depth = max(1, prefetch_depth)
+    with ThreadPoolExecutor(max_workers=min(2, depth)) as io_pool:
+        prep_q: deque = deque()
+        next_s = 0
+        while next_s < len(starts) and len(prep_q) < depth:
+            prep_q.append(io_pool.submit(prepare, starts[next_s]))
+            next_s += 1
         pending = None  # (b0, valid, preds device array)
 
         def flush(pending):
@@ -256,9 +265,10 @@ def infer_video(
                 out[b0 + k] = preds[k]
 
         for i in range(len(starts)):
-            b0, valid, frames, positions = fut.result()
-            if i + 1 < len(starts):
-                fut = io_pool.submit(prepare, starts[i + 1])
+            b0, valid, frames, positions = prep_q.popleft().result()
+            if next_s < len(starts):
+                prep_q.append(io_pool.submit(prepare, starts[next_s]))
+                next_s += 1
             frames_dev = jnp.asarray(frames)
             pos_dev = jnp.asarray(positions)
             if mesh is not None:
