@@ -33,11 +33,56 @@ import numpy as np
 
 
 def main():
+    if "--worker" in sys.argv:
+        _worker_main()
+        return
+    # Wedge-proofing, level 2: the tunnel intermittently wedges a transfer
+    # forever (observed repeatedly this round; unrelated to the workload,
+    # and a wedged client cannot recover in-process).  The measurement runs
+    # in a worker SUBPROCESS; a wedged attempt is killed and retried — the
+    # persistent compile cache makes retries cheap (~20 s to steady state).
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+    last = None
+    for i in range(attempts):
+        # every attempt pays the remote compile (the compile cache is
+        # unusable on this plugin — see _measure)
+        timeout = int(os.environ.get("BENCH_ATTEMPT_S", "180"))
+        env = dict(os.environ, BENCH_HARD_S=str(timeout - 20))
+        if i == attempts - 1:
+            # last attempt: the serial pattern that never wedged in two
+            # rounds of driver runs (slower, but a number beats a null)
+            env["BENCH_ASYNC"] = "0"
+            env["BENCH_DEPTH"] = "0"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                capture_output=True, text=True, timeout=timeout, env=env,
+            )
+            out_lines = [ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")]
+            if out_lines:
+                last = json.loads(out_lines[-1])
+                if last.get("value"):
+                    print(out_lines[-1])
+                    return
+            print(f"bench: attempt {i} produced no result (rc={proc.returncode}); "
+                  f"retrying", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {i} wedged past {timeout}s; retrying",
+                  file=sys.stderr)
+    print(json.dumps(last or {
+        "metric": "stage1_frames_per_sec", "value": None,
+        "unit": "frames/s (no attempt completed — transfer tunnel wedged)",
+        "vs_baseline": None,
+    }))
+
+
+def _worker_main():
     batch, times, done = _spawn_measure()
-    # Wedge-proofing: the tunnel intermittently wedges a transfer forever
-    # (observed; unrelated to the workload).  The measurement runs on a
-    # daemon thread; if it exceeds the hard deadline, report the median of
-    # whatever completed instead of producing nothing for the driver.
+    # level-1 watchdog inside the worker: report partial medians if the
+    # steady-state loop wedges after some iterations completed
     hard_s = float(os.environ.get("BENCH_HARD_S", "540"))
     done.wait(hard_s)
     if not done.is_set():
@@ -92,6 +137,11 @@ def _spawn_measure():
 
 def _measure(times, done):
     import jax
+
+    # NOTE: do NOT enable the persistent compilation cache here — this
+    # axon plugin deterministically WEDGES executing cache-deserialized
+    # executables (measured round 3: empty cache dir -> run completes;
+    # populated cache -> first result fetch hangs forever, every time).
     import jax.numpy as jnp
 
     from cp360_tpu.models.resnet import init_resnet_params
@@ -151,28 +201,42 @@ def _measure(times, done):
             return jax.device_put(ys), jax.device_put(uvs)
         return (jax.device_put(np.stack(done)),)
 
+    # BENCH_ASYNC=0 -> the round-2 serial fetch pattern (device_get, no
+    # async copies): ~25% slower but it never wedged across two rounds of
+    # driver runs; the parent uses it as the last-attempt fallback
+    async_d2h = os.environ.get("BENCH_ASYNC", "1") != "0"
+
     def run(dev_arrays):
         fn = stage1_batch_faces_yuv if yuv else stage1_batch_faces
         scores, sal = fn(
             params, *dev_arrays, arch="resnet50", use_cube_pad=True,
             compute_dtype=jnp.bfloat16, out_dtype=jnp.float16,
         )
-        # start the D2H immediately: the synchronous fetch path runs at
-        # ~1.3 MB/s on this tunnel vs ~29 MB/s for enqueued async copies
-        scores.copy_to_host_async()
-        sal.copy_to_host_async()
+        if async_d2h:
+            # start the D2H immediately: the synchronous fetch path runs
+            # ~20x slower on this tunnel than enqueued async copies
+            scores.copy_to_host_async()
+            sal.copy_to_host_async()
         return scores, sal
 
     def fetch(out):
-        return np.asarray(out[0]), np.asarray(out[1])
+        if async_d2h:
+            return np.asarray(out[0]), np.asarray(out[1])
+        return jax.device_get(out)
 
     t_start = time.time()  # budget covers warmup/compile too — a degraded
     # tunnel can eat the harness timeout before measurement even begins
 
     # warmup / compile
+    print(f"bench: warmup start ({upload_format}, depth {depth}, "
+          f"batch {batch})", file=sys.stderr, flush=True)
     for i in range(n_warm):
         out = run(upload(remap(i)))
+        print(f"bench: warmup batch {i} dispatched "
+              f"(+{time.time()-t_start:.0f}s)", file=sys.stderr, flush=True)
     fetch(out)
+    print(f"bench: warmup done (+{time.time()-t_start:.0f}s)",
+          file=sys.stderr, flush=True)
 
     # steady state: H2D rides `depth` pre-uploaded batches ahead, D2H is
     # async from dispatch time, batch i-1's results materialize while batch
