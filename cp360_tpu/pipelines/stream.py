@@ -26,7 +26,9 @@ from cp360_tpu.config import Config
 from cp360_tpu.pipelines.extract import (
     _resize_frame_pil,
     host_equi_to_cube_u8,
+    host_rgb_to_yuv420,
     stage1_batch_faces,
+    stage1_batch_faces_yuv,
 )
 from cp360_tpu.pipelines.temporal import (
     window_infer_from_frames,
@@ -87,20 +89,36 @@ def stream_video_saliency(
                           pipe_mesh)
 
 
+def _remap_job(frame_u8, cube_dim, yuv):
+    faces = host_equi_to_cube_u8(frame_u8, cube_dim)
+    return host_rgb_to_yuv420(faces) if yuv else faces
+
+
 def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                    cap, total, seq_len, compute_dtype, wh, pipe_mesh=None):
 
     carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
     carry_cnts: list = []
 
+    yuv = cfg.upload_format == "yuv420"
+
     def process_frame_batch(batch):  # [(cnt, faces_future)] -> yields (id, sal)
         nonlocal carry, carry_cnts
-        faces = np.stack([f.result() for _, f in batch])
-        scores, _ = stage1_batch_faces(
-            backbone_params, jnp.asarray(faces), arch=arch,
-            use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-            out_dtype=jnp.float16,
-        )  # device [B, 6, h, w, C]
+        done = [f.result() for _, f in batch]
+        if yuv:  # half the H2D bytes (see pipelines/extract.py)
+            scores, _ = stage1_batch_faces_yuv(
+                backbone_params,
+                jnp.asarray(np.stack([d[0] for d in done])),
+                jnp.asarray(np.stack([d[1] for d in done])),
+                arch=arch, use_cube_pad=cfg.cube_pad,
+                compute_dtype=compute_dtype, out_dtype=jnp.float16,
+            )
+        else:
+            scores, _ = stage1_batch_faces(
+                backbone_params, jnp.asarray(np.stack(done)), arch=arch,
+                use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                out_dtype=jnp.float16,
+            )  # device [B, 6, h, w, C]
         cnts = [c for c, _ in batch]
         if carry is None:
             frames_dev = scores
@@ -163,7 +181,7 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                 continue
             cnt = i + 1  # reference numbering
             frame_u8, _ = _resize_frame_pil(prev, wh)
-            fut = remap_pool.submit(host_equi_to_cube_u8, frame_u8, cfg.cube_dim)
+            fut = remap_pool.submit(_remap_job, frame_u8, cfg.cube_dim, yuv)
             fbatch.append((cnt, fut))
             prev = frame
             if len(fbatch) == stage1_batch:
