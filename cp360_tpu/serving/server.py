@@ -79,10 +79,16 @@ class SaliencyModel:
 
     def _stage1(self, frame_u8: np.ndarray):
         """Resize + remap + fused stage-1 step.  Returns (scores [6,h,w,C]
-        device, sal [2h,4w] device)."""
+        device, sal [2h,4w] device).  Honors ``upload_format: yuv420``
+        (halves the per-request H2D bytes; error bounded like extraction)."""
         from PIL import Image
 
-        from cp360_tpu.pipelines.extract import host_equi_to_cube_u8, stage1_batch_faces
+        from cp360_tpu.pipelines.extract import (
+            host_equi_to_cube_u8,
+            host_rgb_to_yuv420,
+            stage1_batch_faces,
+            stage1_batch_faces_yuv,
+        )
 
         jnp = self._jnp
         wh = (self.cfg.equi_h, self.cfg.equi_w)
@@ -90,10 +96,18 @@ class SaliencyModel:
             wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
         )
         faces = host_equi_to_cube_u8(np.asarray(img, np.uint8), self.cfg.cube_dim)
-        scores, sal = stage1_batch_faces(
-            self.params, jnp.asarray(faces[None]), arch=self.arch,
-            use_cube_pad=self.cfg.cube_pad, compute_dtype=self._compute_dtype(),
-        )
+        if self.cfg.upload_format == "yuv420":
+            y, uv = host_rgb_to_yuv420(faces)
+            scores, sal = stage1_batch_faces_yuv(
+                self.params, jnp.asarray(y[None]), jnp.asarray(uv[None]),
+                arch=self.arch, use_cube_pad=self.cfg.cube_pad,
+                compute_dtype=self._compute_dtype(),
+            )
+        else:
+            scores, sal = stage1_batch_faces(
+                self.params, jnp.asarray(faces[None]), arch=self.arch,
+                use_cube_pad=self.cfg.cube_pad, compute_dtype=self._compute_dtype(),
+            )
         return scores[0], sal[0]
 
     def predict(self, frame_u8: np.ndarray) -> np.ndarray:

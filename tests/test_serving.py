@@ -189,3 +189,27 @@ def test_idle_sessions_evicted(temporal_server, monkeypatch):
     assert sid not in model._sessions
     assert sid2 in model._sessions
     model.temporal_close(sid2)
+
+
+def test_predict_yuv420_close_to_rgb8():
+    """upload_format=yuv420 halves per-request H2D; predictions stay within
+    the codec bound of the exact path (natural-spectrum frame)."""
+    import cv2
+    import numpy as np
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32")
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    m_rgb = SaliencyModel(params, cfg, arch="resnet18")
+    m_yuv = SaliencyModel(params, cfg.replace(upload_format="yuv420"),
+                          arch="resnet18")
+    rng = np.random.RandomState(3)
+    img = np.zeros((128, 256))
+    for scale in (4, 8, 16):
+        small = rng.rand(128 // scale + 2, 256 // scale + 2)
+        img += cv2.resize(small, (256, 128), interpolation=cv2.INTER_CUBIC) * scale
+    img = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    frame = np.stack([img, np.roll(img, 2, 0), np.roll(img, 5, 1)], -1)
+    a = m_rgb.predict(frame)
+    b = m_yuv.predict(frame)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.998
+    assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.08
