@@ -115,7 +115,7 @@ def host_equi_to_cube_u8(frame_u8: np.ndarray, cube_dim: int) -> np.ndarray:
 # same faces in ~0.45 MB: Y [6,cd,cd] u8 + UV [6,cd/2,cd/2,2] u8.  The
 # device reconstructs RGB (bilinear chroma upsample); reconstruction error
 # is u8-rounding + chroma-edge loss, bounded by tests/test_extract.py and
-# tools/bench_upload.py against the exact-RGB path.
+# BENCH_UPLOAD=rgb8 vs yuv420 runs of bench.py against the exact-RGB path.
 
 _YUV_M = np.array(
     [[0.299, 0.587, 0.114],        # Y
@@ -463,49 +463,56 @@ def extract_video(
 
     batch = []
     prev_bgr = None
-    for i in range(total):
-        ok, frame = cap.read()
-        if not ok:
-            break
-        if i == 0:
-            prev_bgr = frame
-            continue
+    ok_done = False
+    try:
+        for i in range(total):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if i == 0:
+                prev_bgr = frame
+                continue
 
-        cnt = i + 1  # reference numbering starts at 000002
-        if resume and _artifacts_exist(
-            cnt, feat_dir, motion_dir, img_dir, out_dir,
-            output_feature, output_motion and cfg.opt_flow, output_img,
-        ):
-            written += 1
+            cnt = i + 1  # reference numbering starts at 000002
+            if resume and _artifacts_exist(
+                cnt, feat_dir, motion_dir, img_dir, out_dir,
+                output_feature, output_motion and cfg.opt_flow, output_img,
+            ):
+                written += 1
+                prev_bgr = frame
+                continue
+            frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
+            flow = None
+            if flow_pool is not None:
+                flow = flow_pool.submit(
+                    flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
+                )
+            faces_fut = (remap_pool.submit(remap_job, frame_u8)
+                         if remap_pool is not None else None)
+            batch.append((cnt, frame_u8, pil_img, flow, faces_fut))
             prev_bgr = frame
-            continue
-        frame_u8, pil_img = _resize_frame_pil(prev_bgr, wh)
-        flow = None
-        if flow_pool is not None:
-            flow = flow_pool.submit(
-                flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
-            )
-        faces_fut = (remap_pool.submit(remap_job, frame_u8)
-                     if remap_pool is not None else None)
-        batch.append((cnt, frame_u8, pil_img, flow, faces_fut))
-        prev_bgr = frame
 
-        if len(batch) == batch_frames:
+            if len(batch) == batch_frames:
+                uploads.append((batch, upload_pool.submit(upload, batch)))
+                batch = []
+                if len(uploads) > upload_depth:
+                    drain_one()
+
+        if batch:
             uploads.append((batch, upload_pool.submit(upload, batch)))
-            batch = []
-            if len(uploads) > upload_depth:
-                drain_one()
-
-    if batch:
-        uploads.append((batch, upload_pool.submit(upload, batch)))
-    while uploads:
-        drain_one()
-    flush(pending)
-    cap.release()
-    upload_pool.shutdown(wait=True)
-    if flow_pool is not None:
-        flow_pool.shutdown(wait=True)
-    if remap_pool is not None:
-        remap_pool.shutdown(wait=True)
+        while uploads:
+            drain_one()
+        flush(pending)
+        ok_done = True
+    finally:
+        # in finally so a mid-extract exception (decode, remap, flow, disk)
+        # cannot leak the capture handle or the worker pools; on the error
+        # path don't wait on possibly-wedged futures
+        cap.release()
+        upload_pool.shutdown(wait=ok_done)
+        if flow_pool is not None:
+            flow_pool.shutdown(wait=ok_done)
+        if remap_pool is not None:
+            remap_pool.shutdown(wait=ok_done)
     log_fn(f"{vid_path}: {written} frames in {time.time() - t_start:.1f}s")
     return written
