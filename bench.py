@@ -39,8 +39,10 @@ def main():
     # Wedge-proofing, level 2: the tunnel intermittently wedges a transfer
     # forever (observed repeatedly this round; unrelated to the workload,
     # and a wedged client cannot recover in-process).  The measurement runs
-    # in a worker SUBPROCESS; a wedged attempt is killed and retried — the
-    # persistent compile cache makes retries cheap (~20 s to steady state).
+    # in a worker SUBPROCESS; a wedged attempt is killed and retried.
+    # Every attempt pays the full remote compile — the persistent compile
+    # cache would make retries cheap but is UNUSABLE on this plugin (see
+    # the NOTE in _measure).
     import subprocess
 
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "3"))
@@ -130,7 +132,20 @@ def _spawn_measure():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     times: list = []
     done = threading.Event()
-    th = threading.Thread(target=_measure, args=(times, done), daemon=True)
+
+    def run():
+        # fail FAST on deterministic errors (bad env value, import error)
+        # instead of idling until the watchdog: only a genuine wedge — a
+        # blocked transfer — should consume the attempt budget
+        try:
+            _measure(times, done)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            done.set()
+
+    th = threading.Thread(target=run, daemon=True)
     th.start()
     return batch, times, done
 

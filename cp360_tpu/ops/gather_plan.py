@@ -189,7 +189,6 @@ def build_plan(map_x: np.ndarray, map_y: np.ndarray, src_h: int, src_w: int,
             hi = int(ys.max())
             band_lo[lyr, ch] = lo
             band_n[lyr, ch] = (hi - lo) // 8 + 1
-            # re-base phase-2 indices to the band for the kernel's benefit
     return GatherPlan(
         src_h=src_h, src_w=src_w, out_rows=rows_pad, out_cols=c_out,
         k_slots=k_slots, n_layers=n_layers, a1=a1, y2=y2, s3=s3, l3=l3,

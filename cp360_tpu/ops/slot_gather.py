@@ -222,6 +222,10 @@ def apply_plan_pallas(plan: GatherPlan, src: jax.Array,
         raise RuntimeError("pallas unavailable")
     b = src.shape[0]
     h, w, k = plan.src_h, plan.src_w, plan.k_slots
+    if w % 128:
+        # phase 1 sweeps 128-column windows; a partial tail window would
+        # silently read zeros (apply_plan_jax has no such restriction)
+        raise ValueError(f"pallas executor needs src_w % 128 == 0, got {w}")
     r, c4 = plan.out_rows, plan.s3.shape[1]
     a1 = jnp.asarray(plan.a1, jnp.int32)
 

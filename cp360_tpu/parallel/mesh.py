@@ -132,15 +132,18 @@ def clstm_param_sharding(mesh: Mesh, params: dict) -> dict:
 def shard_batch(mesh: Mesh, tree):
     """Device-put a host batch with the leading dim split along data.
 
-    Single-process: ``tree`` is the full global batch.  Multi-process (after
-    :func:`maybe_init_distributed`): each process passes only the rows IT
-    loaded — ``global_batch / process_count`` of them, in process-id order —
-    and the processes jointly assemble the global sharded array (per-host
-    data feeding; no host ever holds the whole batch).
+    ``tree`` is always the FULL GLOBAL batch — same contract single- or
+    multi-process, so production callers (train loop, pipelines) need no
+    process awareness.  Multi-process (after
+    :func:`maybe_init_distributed`): every process passes the identical
+    global batch; each keeps only the rows that land on its own devices
+    (derived from the sharding's addressable indices — correct for any
+    mesh layout, including a replicated batch axis) and the processes
+    jointly assemble the global array.  Loaders that CAN feed per-host
+    should slice per process and call :func:`shard_batch_per_host`
+    directly instead.
     """
     n_data = mesh.shape.get(DATA_AXIS, 1)
-    if jax.process_count() > 1:
-        return shard_batch_per_host(mesh, tree)
     for leaf in jax.tree.leaves(tree):
         if leaf.shape[0] % n_data:
             raise ValueError(
@@ -148,6 +151,27 @@ def shard_batch(mesh: Mesh, tree):
                 f"axis ({n_data} devices); pick batch_size as a multiple of "
                 f"mesh_data"
             )
+    if jax.process_count() > 1:
+        sh = data_sharding(mesh)
+
+        def local_rows(leaf):
+            leaf = np.asarray(leaf)
+            idx_map = sh.addressable_devices_indices_map(leaf.shape)
+            spans = sorted(
+                {(sl[0].start or 0,
+                  leaf.shape[0] if sl[0].stop is None else sl[0].stop)
+                 for sl in idx_map.values()}
+            )
+            lo, hi = spans[0][0], spans[-1][1]
+            covered = all(a <= b_ for (_, b_), (a, _) in zip(spans, spans[1:]))
+            if not covered:
+                raise ValueError(
+                    f"this host's batch rows are not contiguous ({spans}); "
+                    f"feed per-host via shard_batch_per_host"
+                )
+            return leaf[lo:hi]
+
+        return shard_batch_per_host(mesh, jax.tree.map(local_rows, tree))
     return jax.device_put(tree, data_sharding(mesh))
 
 

@@ -22,6 +22,7 @@ __graft_entry__.dryrun_multichip.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -75,13 +76,31 @@ def pipelined_rollout(
         raise ValueError(
             f"microbatch size {b // n_micro} must be a multiple of 6 "
             f"(face-flattened batch; cube padding regroups faces)")
-    bm = b // n_micro
-    tc = t // n_pipe
-    ch = params["gates"]["b"].shape[0] // 4
-    n_ticks = n_micro + n_pipe - 1
+    fn = _pipelined_fn(mesh, n_micro, use_cube_pad, compute_dtype, conv_impl)
+    return fn(params, seq, h0, c0)
+
+
+@lru_cache(maxsize=16)
+def _pipelined_fn(mesh: Mesh, n_micro: int, use_cube_pad: bool,
+                  compute_dtype, conv_impl: str):
+    """Cached jitted shard_map for :func:`pipelined_rollout`.
+
+    Building a fresh jit per call would retrace + recompile on EVERY batch
+    (a product surface like streaming with pipeline_stages pays 0.5-4 min
+    per compile on this toolchain); all shape-dependent constants are
+    derived at trace time from the operand shapes, so one cache entry per
+    (mesh, n_micro, flags) serves every geometry, and jit's own cache
+    handles shape changes.
+    """
+    n_pipe = mesh.shape[PIPE_AXIS]
     perm = [(i, i + 1) for i in range(n_pipe - 1)]
 
     def local(prm, seq_local, h0_, c0_):
+        t_local, b = seq_local.shape[0], seq_local.shape[1]
+        tc = t_local  # shard_map splits the time axis: T/n_pipe per device
+        bm = b // n_micro
+        ch = prm["gates"]["b"].shape[0] // 4
+        n_ticks = n_micro + n_pipe - 1
         p = jax.lax.axis_index(PIPE_AXIS)
 
         def run_chunk(x_chunk, state):
@@ -143,11 +162,10 @@ def pipelined_rollout(
         c_f = jax.lax.psum(out_cf * is_last, PIPE_AXIS)
         return hiddens, h_f, c_f
 
-    fn = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(PIPE_AXIS), P(), P()),
             out_specs=(P(), P(), P()),
         )
     )
-    return fn(params, seq, h0, c0)

@@ -399,10 +399,13 @@ def extract_video(
     out_dtype = jnp.float16 if cfg.feat_dtype == "float16" else jnp.float32
     yuv = cfg.host_cube_remap and cfg.upload_format == "yuv420"
 
-    def upload(batch):
-        """Assemble + H2D one batch (runs on the dedicated upload thread so
-        batch k+depth transfers while batch k computes — distinct buffers
-        per batch, which also matters because the tunnel dedups repeats)."""
+    def assemble(batch):
+        """Wait the batch's remap futures + stack (runs on the dedicated
+        assembly thread so the decode loop never blocks on host remap).
+        Returns HOST arrays: the device_put stays on the main thread —
+        client-thread-concurrent transfers intermittently wedge this
+        relay (bench.py measured it), and device_put here is deferred
+        anyway (bytes cross when the consuming compute runs)."""
         if cfg.host_cube_remap:
             done = [b[4].result() for b in batch]  # remapped at decode time
             if yuv:
@@ -410,14 +413,14 @@ def extract_video(
                               + [done[-1][0]] * (batch_frames - len(batch)))
                 uvs = np.stack([d[1] for d in done]
                                + [done[-1][1]] * (batch_frames - len(batch)))
-                return _shard_in(ys), _shard_in(uvs)
+                return ys, uvs
             faces = np.stack(done + [done[-1]] * (batch_frames - len(batch)))
-            return (_shard_in(faces),)
+            return (faces,)
         frames_u8 = np.stack([b[1] for b in batch])
         if len(batch) < batch_frames:  # pad the tail, keep shapes static
             reps = np.repeat(frames_u8[-1:], batch_frames - len(batch), axis=0)
             frames_u8 = np.concatenate([frames_u8, reps], axis=0)
-        return (_shard_in(frames_u8),)
+        return (frames_u8,)
 
     def compute(batch, dev_arrays):
         cnts = [b[0] for b in batch]
@@ -446,9 +449,9 @@ def extract_video(
 
     from collections import deque
 
-    upload_pool = ThreadPoolExecutor(max_workers=1)
+    upload_pool = ThreadPoolExecutor(max_workers=1)  # host assembly only
     upload_depth = max(1, cfg.upload_depth)
-    uploads: deque = deque()  # (batch, future of device arrays)
+    uploads: deque = deque()  # (batch, future of host arrays)
 
     def remap_job(frame_u8):
         faces = host_equi_to_cube_u8(frame_u8, cfg.cube_dim)
@@ -457,7 +460,8 @@ def extract_video(
     def drain_one():
         nonlocal pending
         b, fut = uploads.popleft()
-        out = compute(b, fut.result())
+        dev_arrays = tuple(_shard_in(a) for a in fut.result())
+        out = compute(b, dev_arrays)
         flush(pending)
         pending = out
 
@@ -493,13 +497,13 @@ def extract_video(
             prev_bgr = frame
 
             if len(batch) == batch_frames:
-                uploads.append((batch, upload_pool.submit(upload, batch)))
+                uploads.append((batch, upload_pool.submit(assemble, batch)))
                 batch = []
                 if len(uploads) > upload_depth:
                     drain_one()
 
         if batch:
-            uploads.append((batch, upload_pool.submit(upload, batch)))
+            uploads.append((batch, upload_pool.submit(assemble, batch)))
         while uploads:
             drain_one()
         flush(pending)

@@ -29,6 +29,7 @@ def main() -> None:
         maybe_init_distributed,
         replicated,
         shard_batch,
+        shard_batch_per_host,
     )
 
     assert maybe_init_distributed() is True
@@ -62,11 +63,17 @@ def main() -> None:
     p_sh = device_put_global(params_host,
                              clstm_param_sharding(mesh, params_host))
     o_sh = opt.init(p_sh)
-    # per-host data feeding: each process passes ONLY its 4 rows
-    local = {"seq": seq[pid * 4:(pid + 1) * 4],
-             "flows": flows[pid * 4:(pid + 1) * 4]}
-    batch = shard_batch(mesh, local)
+    # production contract: every process passes the IDENTICAL global batch
+    # and shard_batch keeps only this host's rows
+    batch = shard_batch(mesh, {"seq": seq, "flows": flows})
     assert batch["seq"].shape == (8, 5, 6, 7, 7, chans), batch["seq"].shape
+    # per-host feeding path: each process passes ONLY its 4 rows — must
+    # assemble the identical global array
+    batch2 = shard_batch_per_host(
+        mesh, {"seq": seq[pid * 4:(pid + 1) * 4],
+               "flows": flows[pid * 4:(pid + 1) * 4]})
+    assert float(jnp.abs(batch["seq"] - batch2["seq"]).max()) == 0.0
+    assert float(jnp.abs(batch["flows"] - batch2["flows"]).max()) == 0.0
 
     p2, _, m2 = step(p_sh, o_sh, batch["seq"], batch["flows"])
     dist_metrics = {k: float(m2[k])
