@@ -18,9 +18,12 @@ Baseline: the reference's per-frame path on torch-CPU (PIL resize +
 cv2.remap equi->cube + cubic ResNet-50 forward + NumPy CAM matmul), measured
 by tools/measure_torch_baseline.py and recorded in BENCH_BASELINE.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "spread",
-"n_iters"} — value is the median over completed iterations, spread the
-[min, max] fps (the transfer tunnel's variance is real; quote both).
+The top-level invocation prints ONE JSON line: {"metric", "value", "unit",
+"vs_baseline", "spread", "n_iters"} — value is the median over completed
+iterations, spread the [min, max] fps (the transfer tunnel's variance is
+real; quote both).  Internally it spawns worker subprocesses (--worker)
+that emit a provisional line per iteration; the parent forwards only the
+last line of the first attempt that produced a value.
 """
 
 import json
