@@ -60,9 +60,13 @@ def main():
     for i in range(attempts):
         timeout = schedule[min(i, len(schedule) - 1)]
         env = dict(os.environ, BENCH_HARD_S=str(timeout - 20))
-        if i == attempts - 1:
+        if (i == attempts - 1 and attempts >= 2
+                and "BENCH_ASYNC" not in os.environ
+                and "BENCH_DEPTH" not in os.environ):
             # last attempt: the serial pattern that never wedged in two
-            # rounds of driver runs (slower, but a number beats a null)
+            # rounds of driver runs (slower, but a number beats a null).
+            # Never forced when the user pinned the mode explicitly or
+            # asked for a single attempt.
             env["BENCH_ASYNC"] = "0"
             env["BENCH_DEPTH"] = "0"
         try:
@@ -78,12 +82,20 @@ def main():
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
             rc = "timeout"
-        out_lines = [ln for ln in stdout.splitlines() if ln.startswith("{")]
-        if out_lines:
-            last = json.loads(out_lines[-1])
-            if last.get("value"):
-                print(out_lines[-1])
+        # walk candidate lines newest-first; tolerate a torn line (the
+        # watchdog's report can interleave with a concurrent provisional
+        # print) by falling back to earlier parseable ones
+        for ln in reversed([ln for ln in stdout.splitlines()
+                            if ln.startswith("{")]):
+            try:
+                parsed = json.loads(ln)
+            except ValueError:
+                continue
+            last = parsed
+            if parsed.get("value"):
+                print(ln)
                 return
+            break
         print(f"bench: attempt {i} produced no result (rc={rc}); retrying",
               file=sys.stderr)
     print(json.dumps(last or {
@@ -115,6 +127,21 @@ def _worker_main():
     os._exit(0)
 
 
+_BASELINE_CACHE: list = []
+
+
+def _baseline_fps():
+    if not _BASELINE_CACHE:  # read once — _report runs inside the timed loop
+        fps = None
+        base_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                fps = json.load(f).get("torch_cpu_fps")
+        _BASELINE_CACHE.append(fps)
+    return _BASELINE_CACHE[0]
+
+
 def _report(batch, times):
     fps = batch / float(np.median(times))
     # spread over completed iterations — the tunnel's documented variance
@@ -122,12 +149,7 @@ def _report(batch, times):
     # driver-captured artifact, median AND spread
     fps_min = batch / float(np.max(times))
     fps_max = batch / float(np.min(times))
-
-    baseline_fps = None
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            baseline_fps = json.load(f).get("torch_cpu_fps")
+    baseline_fps = _baseline_fps()
 
     result = {
         "metric": "stage1_frames_per_sec",
@@ -287,7 +309,11 @@ def _measure(times, done):
             fetch(pending)
         pending = out
         now = time.time()
-        times.append(now - t_prev)
+        if i > n_warm:
+            # the first steady-state iteration has no fetch gate (pending
+            # was None), so its wall delta measures only host remap +
+            # async dispatch and would inflate the median/spread
+            times.append(now - t_prev)
         t_prev = now
         if len(times) >= 2:
             # provisional line after every iteration: a wedge or kill

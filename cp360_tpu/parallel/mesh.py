@@ -181,6 +181,11 @@ def shard_batch_per_host(mesh: Mesh, tree):
     Every process contributes the contiguous slice of the global batch that
     lands on its own devices (mesh rows are laid out in device-id order, so
     process p's slice is rows ``[p * local, (p + 1) * local)``).
+
+    CONTRACT WARNING: do not pass per-host rows to :func:`shard_batch` —
+    it expects the FULL global batch on every process and would silently
+    slice your local rows again whenever their count happens to divide the
+    mesh data axis.  Per-host loaders call THIS function.
     """
     sh = data_sharding(mesh)
 

@@ -29,7 +29,7 @@ def main():
         stage1_batch_faces_yuv,
     )
     from cp360_tpu.pipelines.temporal import window_infer_from_frames
-    from cp360_tpu.utils.transfer import async_start, fetch_np
+    from cp360_tpu.utils.transfer import fetch_np
 
     yuv = os.environ.get("STREAM_UPLOAD", "yuv420") == "yuv420"
     bb = jax.device_put(init_resnet_params(jax.random.PRNGKey(0), "resnet50"))
@@ -67,8 +67,7 @@ def main():
         nw = fd.shape[0] - 4
         preds_dev = window_infer_from_frames(
             cl, fd, jnp.arange(nw, dtype=jnp.int32))
-        async_start(preds_dev)
-        preds = fetch_np(preds_dev)
+        preds = fetch_np(preds_dev)  # enqueues the async D2H itself
         assert np.isfinite(preds).all()
         carry = fd[-4:]
         if it == 1:  # both window shapes compiled after iters 0 and 1
