@@ -77,7 +77,7 @@ class Config:
     #   (16 measured best through the TPU transfer tunnel: spikes amortize;
     #   32 regresses)
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
-    flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'deepflow'
+    flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'variational' (TPU) | 'deepflow'
     checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)
     clstm_conv_impl: str = "xla"  # 'xla' | 'pallas' (fused cube-pad+conv kernel)
     keep_checkpoints: int = 0  # prune CLSTM_* weight snapshots beyond the

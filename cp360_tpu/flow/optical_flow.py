@@ -329,9 +329,14 @@ def calc_optical_flow_device(
 
 def get_flow_fn(backend: str = "farneback"):
     """Flow backend selector: 'farneback' (host cv2), 'horn_schunck' (TPU),
+    'variational' (TPU, the DeepFlow/Brox energy — flow/variational.py),
     'deepflow' (host cv2-contrib, if present)."""
     if backend == "horn_schunck":
         return calc_optical_flow_device
+    if backend == "variational":
+        from cp360_tpu.flow.variational import calc_optical_flow_variational
+
+        return calc_optical_flow_variational
     if backend in ("farneback", "deepflow"):
         return calc_optical_flow
     raise ValueError(f"unknown flow backend {backend!r}")

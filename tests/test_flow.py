@@ -55,6 +55,20 @@ def test_horn_schunck_recovers_translation():
     assert abs(dy) < 1.0, dy
 
 
+def test_variational_flow_backend_wrapper():
+    from cp360_tpu.flow.optical_flow import get_flow_fn
+    from cp360_tpu.flow.variational import calc_optical_flow_variational
+
+    img = (_textured(64, 128, 4) * 255).clip(0, 255).astype(np.uint8)
+    img3 = np.stack([img] * 3, -1)
+    shifted = np.roll(img3, 3, axis=1)
+    absflow, flow = calc_optical_flow_variational(img3, shifted, res=(128, 64))
+    assert flow.shape == (64, 128, 2) and absflow.shape == (64, 128)
+    dx = np.median(flow[10:-10, 10:-10, 0])
+    assert 2.0 < dx < 4.0, dx
+    assert get_flow_fn("variational") is calc_optical_flow_variational
+
+
 def test_device_flow_backend_wrapper():
     import jax.numpy as jnp  # noqa: F401
     from cp360_tpu.flow.optical_flow import calc_optical_flow_device, get_flow_fn

@@ -27,7 +27,7 @@ def scenes():
 @pytest.fixture(scope="module")
 def flows(scenes):
     out = {}
-    for name in ("farneback", "horn_schunck"):
+    for name in ("farneback", "horn_schunck", "variational"):
         out[name] = {
             sname: fbr.backend_flow(name, f1, f2)
             for sname, (f1, f2, gt) in scenes.items()
@@ -54,7 +54,23 @@ def test_horn_schunck_usable(scenes, flows):
         assert epe(flows["horn_schunck"][sname], gt) < 0.4, sname
 
 
-@pytest.mark.parametrize("backend,min_tnr", [("farneback", 0.90), ("horn_schunck", 0.84)])
+def test_variational_beats_both_at_motion_boundaries(scenes, flows):
+    """The DeepFlow/Brox-energy solver (flow/variational.py): its robust
+    smoothness term refuses to diffuse across the patch boundary, so the
+    moving-patch EPE beats BOTH shipped backends; the smooth scenes stay
+    sub-0.1 px.  (Width-240 measured: 0.005/0.083/0.047 vs Farneback
+    0.033/0.196/0.057 and Horn-Schunck 0.004/0.298/0.034.)"""
+    for sname, (_, _, gt) in scenes.items():
+        assert epe(flows["variational"][sname], gt) < 0.15, sname
+    e_var = epe(flows["variational"]["moving_patch"], scenes["moving_patch"][2])
+    e_fb = epe(flows["farneback"]["moving_patch"], scenes["moving_patch"][2])
+    e_hs = epe(flows["horn_schunck"]["moving_patch"], scenes["moving_patch"][2])
+    assert e_var < e_fb and e_var < e_hs, (e_var, e_fb, e_hs)
+
+
+@pytest.mark.parametrize("backend,min_tnr",
+                         [("farneback", 0.90), ("horn_schunck", 0.84),
+                          ("variational", 0.90)])
 def test_motion_mask_at_shipped_threshold(scenes, flows, backend, min_tnr):
     """At the shipped mm_th=0.15 (config.yaml:41) both backends pass all
     moving pixels and suppress most static ones on the moving-patch scene."""
@@ -74,7 +90,7 @@ def test_training_gradient_insensitive_to_backend(scenes, flows):
     srcs["ground_truth"] = gt
     sens = fbr.loss_sensitivity(gt, srcs, flow_h=gt.shape[0])
     g_ref = sens["ground_truth"]["grad"]
-    for name in ("farneback", "horn_schunck"):
+    for name in ("farneback", "horn_schunck", "variational"):
         g = sens[name]["grad"]
         cos = float(g @ g_ref / (np.linalg.norm(g) * np.linalg.norm(g_ref)))
         assert cos > 0.999, (name, cos)

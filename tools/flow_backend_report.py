@@ -100,6 +100,13 @@ def backend_flow(name, f1, f2):
 
         return np.asarray(horn_schunck_flow(
             jnp.asarray(f1, jnp.float32) / 255.0, jnp.asarray(f2, jnp.float32) / 255.0))
+    if name == "variational":
+        import jax.numpy as jnp
+
+        from cp360_tpu.flow.variational import brox_flow
+
+        return np.asarray(brox_flow(
+            jnp.asarray(f1, jnp.float32) / 255.0, jnp.asarray(f2, jnp.float32) / 255.0))
     if name == "deepflow":
         import cv2
 
@@ -175,7 +182,7 @@ def loss_sensitivity(gt, flow_by_backend, flow_h):
 def main():
     w = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     scenes = make_scenes(w)
-    backends = ["farneback", "horn_schunck"]
+    backends = ["farneback", "horn_schunck", "variational"]
     import cv2
 
     if hasattr(cv2, "optflow") and hasattr(cv2.optflow, "createOptFlow_DeepFlow"):
