@@ -36,8 +36,10 @@ TPU numerics note (same discipline as optical_flow.py): every stencil is an
 explicit VPU shift/multiply-add chain, never a conv/matmul — f32 convs
 round through the single-pass-bf16 MXU on this libtpu and the error
 compounds across hundreds of solver sweeps (measured 0.58 vs 0.003 EPE for
-identical math).  Elementwise f32 is exact, so the solver is bit-identical
-between CPU and TPU.
+identical math).  Elementwise f32 add/mul/div are exact; the Charbonnier
+sqrt is the one 1-ulp-inexact primitive on this libtpu, so the solver is
+CPU/TPU-consistent to ≤1e-4 px (measured full solve at 960×480) rather
+than bit-identical like the sqrt-free Horn-Schunck solver.
 """
 
 from __future__ import annotations
@@ -65,8 +67,17 @@ _EPS2 = 1e-6  # Charbonnier ε² (ε = 1e-3, the Brox/DeepFlow standard)
 def _psi_deriv(s2: jax.Array) -> jax.Array:
     """Ψ′(s²) = 1 / (2 sqrt(s² + ε²)) up to the constant 2 (absorbed into
     the weights: every term in the Euler–Lagrange equation carries the same
-    factor, so it cancels)."""
-    return jax.lax.rsqrt(s2 + _EPS2)
+    factor, so it cancels).
+
+    1/sqrt, NOT lax.rsqrt: TPU rsqrt is a fast approximation, and its few-
+    ulp error feeds back through hundreds of lagged-Ψ′ sweeps (measured:
+    rsqrt diverged CPU vs TPU by 4.04 px at the patch motion boundary,
+    where the diffusion weights gate a bistable solution; 1/sqrt brings the
+    full-solve deviation to ≤1e-4 px).  Exact bit-identity is NOT
+    attainable: this libtpu's f32 sqrt is itself 1-ulp inexact (measured
+    against CPU over 65k samples; divide IS exact, which is why the
+    sqrt-free Horn-Schunck solver in optical_flow.py is bit-identical)."""
+    return 1.0 / jnp.sqrt(s2 + _EPS2)
 
 
 def _shift_pad(x: jax.Array, dy: int, dx: int) -> jax.Array:
@@ -191,8 +202,9 @@ def brox_flow(
     optical_flow.py): ``n_warp`` outer warps × ``fp_iters`` lagged-Ψ′
     fixed-point steps × ``solver_iters`` Jacobi sweeps with the per-pixel
     2×2 (du, dv) block solved in closed form.  All stencils are exact-f32
-    VPU shift/add chains; the solver is deterministic and CPU/TPU
-    bit-identical (see module docstring).
+    VPU shift/add chains; the solver is deterministic and CPU/TPU-
+    consistent to ≤1e-4 px (see module docstring — the Charbonnier sqrt is
+    1-ulp inexact on this libtpu, everything else is exact).
     """
     i1 = prev_gray.astype(jnp.float32)
     i2 = cur_gray.astype(jnp.float32)
