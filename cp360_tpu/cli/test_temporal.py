@@ -79,7 +79,7 @@ def main(argv=None):
             batch_windows=args.batch_windows, use_cube_pad=cfg.cube_pad,
             conv_impl=cfg.clstm_conv_impl,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
-            mesh=mesh,
+            mesh=mesh, transfer_codec=cfg.transfer_codec,
         )
 
         vdir = os.path.join(outdir, vid)

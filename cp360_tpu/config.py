@@ -88,6 +88,13 @@ class Config:
     #   ~1/255 mean on natural frames, bounded in tests/test_extract.py)
     upload_depth: int = 2  # H2D batches in flight ahead of compute (a
     #   dedicated upload thread device_puts batch k+depth while k computes)
+    transfer_codec: str = "none"  # 'none' | 'int8': per-(face,channel)
+    #   symmetric int8 over the CAM feature planes ON THE LINK ONLY (disk
+    #   artifacts stay float; ops/quantize.py) — halves stage-1 D2H and the
+    #   stage-2 disk path's H2D; worst-case error amax_channel/254 ~ 0.4%
+    #   of each channel's peak (the bf16 compute-noise order), bounded
+    #   end-to-end in tests/test_quantize.py.  Requires host_cube_remap
+    #   for stage 1 (the all-device path ignores it).
     pipeline_stages: int = 1  # >1: pipeline the ConvLSTM recurrence over
     #   this many devices (must divide seq_len); streaming/stream CLI route
     #   window batches through parallel/pipeline.py

@@ -35,7 +35,7 @@ from cp360_tpu.ops.resample import cube_to_equi, equi_to_cube
 from cp360_tpu.utils.transfer import async_start, fetch_np
 
 
-@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype"))
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype", "codec"))
 def stage1_batch_faces(
     params: dict,
     faces_u8: jax.Array,
@@ -43,6 +43,7 @@ def stage1_batch_faces(
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
     out_dtype=jnp.float16,
+    codec: str = "none",
 ):
     """Fused device step from pre-sampled cube faces (the fast I/O path).
 
@@ -50,7 +51,11 @@ def stage1_batch_faces(
       faces_u8: [N, 6, cd, cd, 3] uint8 cube faces (host cv2.remap of the
         decoded frame — see :func:`host_equi_to_cube_u8`).
 
-    Returns (scores [N,6,h,w,1000] out_dtype, sal [N,2h,4w] f32).
+    Returns (scores [N,6,h,w,1000] out_dtype, sal [N,2h,4w] f32), or with
+    ``codec="int8"`` (q int8 [N,6,h,w,1000], scales f32 [N,6,1,1,1000],
+    sal) — the transfer-layer codec (ops/quantize.py) that halves the
+    dominant D2H stream; the caller dequantizes on host before writing the
+    unchanged float artifact.
 
     Host->device traffic is 6*cd^2*3 bytes/frame (~0.9 MB at 224) instead of
     the full equi frame (~5.5 MB); device->host CAM cubes return in
@@ -64,6 +69,11 @@ def stage1_batch_faces(
     scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
     equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
     sal = jnp.max(equi_scores, axis=-1) ** 2
+    if codec == "int8":
+        from cp360_tpu.ops.quantize import quantize_cam
+
+        q, scales = quantize_cam(scores)
+        return q, scales, sal
     return scores.astype(out_dtype), sal
 
 
@@ -174,7 +184,7 @@ def _device_yuv420_to_rgb01(y_u8: jax.Array, uv_u8: jax.Array) -> jax.Array:
     return jnp.clip(rgb, 0.0, 255.0) / 255.0
 
 
-@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype"))
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "out_dtype", "codec"))
 def stage1_batch_faces_yuv(
     params: dict,
     y_u8: jax.Array,
@@ -183,12 +193,16 @@ def stage1_batch_faces_yuv(
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
     out_dtype=jnp.float16,
+    codec: str = "none",
 ):
     """:func:`stage1_batch_faces` fed by 4:2:0 planes (half the H2D bytes).
 
     Args:
       y_u8: [N, 6, cd, cd] uint8 luma.
       uv_u8: [N, 6, cd/2, cd/2, 2] uint8 chroma (Cb, Cr offset by 128).
+
+    ``codec="int8"`` additionally halves the D2H side (see
+    :func:`stage1_batch_faces`).
     """
     cubes = _device_yuv420_to_rgb01(y_u8, uv_u8)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
@@ -197,6 +211,11 @@ def stage1_batch_faces_yuv(
     scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
     equi_scores = cube_to_equi(scores)
     sal = jnp.max(equi_scores, axis=-1) ** 2
+    if codec == "int8":
+        from cp360_tpu.ops.quantize import quantize_cam
+
+        q, scales = quantize_cam(scores)
+        return q, scales, sal
     return scores.astype(out_dtype), sal
 
 
@@ -371,14 +390,22 @@ def extract_video(
 
     t_start = time.time()
     written = 0
-    pending = None  # (counts, device scores, device sal, pil images, flows)
+    pending = None  # (counts, device output arrays, pil images, flows)
 
     def flush(pending):
         nonlocal written
         if pending is None:
             return
-        cnts, scores_dev, sal_dev, pil_imgs, flows = pending
-        scores, sals = fetch_np(scores_dev, sal_dev)  # [B, 6, 7, 7, 1000] NHWC
+        cnts, dev_out, pil_imgs, flows = pending
+        if len(dev_out) == 3:  # transfer_codec=int8: (q, scales, sal) crossed D2H
+            from cp360_tpu.ops.quantize import dequantize_cam_np
+
+            q, scales, sals = fetch_np(*dev_out)
+            scores = dequantize_cam_np(
+                q, scales, np.float16 if cfg.feat_dtype == "float16" else np.float32
+            )
+        else:
+            scores, sals = fetch_np(*dev_out)  # [B, 6, 7, 7, 1000] NHWC
         for k, cnt in enumerate(cnts):
             if output_feature:
                 np.save(
@@ -425,27 +452,21 @@ def extract_video(
     def compute(batch, dev_arrays):
         cnts = [b[0] for b in batch]
         if cfg.host_cube_remap:
-            if yuv:
-                scores_dev, sal_dev = stage1_batch_faces_yuv(
-                    params, *dev_arrays, arch=arch,
-                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-                    out_dtype=out_dtype,
-                )
-            else:
-                scores_dev, sal_dev = stage1_batch_faces(
-                    params, *dev_arrays, arch=arch,
-                    use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
-                    out_dtype=out_dtype,
-                )
+            fn = stage1_batch_faces_yuv if yuv else stage1_batch_faces
+            dev_out = fn(
+                params, *dev_arrays, arch=arch,
+                use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                out_dtype=out_dtype, codec=cfg.transfer_codec,
+            )
         else:
-            scores_dev, sal_dev = stage1_batch(
+            dev_out = stage1_batch(
                 params, *dev_arrays, cube_dim=cfg.cube_dim,
                 arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
             )
         # D2H starts NOW, overlapping the next batches' H2D/compute (the
         # synchronous fetch path is ~20x slower on this tunnel)
-        async_start(scores_dev, sal_dev)
-        return (cnts, scores_dev, sal_dev, [b[2] for b in batch], [b[3] for b in batch])
+        async_start(*dev_out)
+        return (cnts, dev_out, [b[2] for b in batch], [b[3] for b in batch])
 
     from collections import deque
 

@@ -1,0 +1,108 @@
+"""Transfer-layer int8 codec (ops/quantize.py): round-trip bounds, host vs
+device agreement, and the end-to-end stage-1/stage-2 paths it gates."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cp360_tpu.ops.quantize import (
+    dequantize_cam,
+    dequantize_cam_np,
+    quantize_cam,
+    quantize_cam_np,
+)
+
+C = 8
+
+
+def _cases():
+    rng = np.random.RandomState(7)
+    return {
+        "uniform": rng.rand(2, 6, 7, 7, C).astype(np.float32),
+        "signed+outliers": (rng.randn(2, 6, 7, 7, C) * (10.0 ** rng.randint(-3, 3, C))).astype(np.float32),
+        "zero-channel": np.concatenate(
+            [rng.rand(1, 6, 7, 7, C - 1), np.zeros((1, 6, 7, 7, 1))], axis=-1
+        ).astype(np.float32),
+        "constant": np.full((1, 6, 7, 7, C), 3.25, np.float32),
+        "all-zero": np.zeros((1, 6, 7, 7, C), np.float32),
+    }
+
+
+@pytest.mark.parametrize("name", list(_cases()))
+def test_roundtrip_error_bound(name):
+    x = _cases()[name]
+    q, scales = quantize_cam_np(x)
+    assert q.dtype == np.int8 and scales.shape == x.shape[:-3] + (1, 1, x.shape[-1])
+    back = dequantize_cam_np(q, scales)
+    # worst case is half a quantization step per (…, channel)
+    amax = np.max(np.abs(x), axis=(-3, -2), keepdims=True)
+    bound = np.where(amax > 0, amax, 1.0) / 254.0
+    assert np.all(np.abs(back - x) <= bound + 1e-7), name
+    # exact zeros survive (CAM planes are zero-heavy)
+    assert np.all(back[x == 0.0] == 0.0), name
+
+
+def test_device_matches_host():
+    x = _cases()["signed+outliers"]
+    q_np, s_np = quantize_cam_np(x)
+    q_j, s_j = jax.jit(quantize_cam)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(q_j), q_np)
+    np.testing.assert_array_equal(np.asarray(s_j), s_np)
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_cam(q_j, s_j)), dequantize_cam_np(q_np, s_np)
+    )
+
+
+def test_stage1_codec_bounds():
+    """stage1_batch_faces codec=int8: saliency is untouched (computed before
+    quantization) and the dequantized CAM cube stays within the per-channel
+    quantization bound of the codec-free output."""
+    from cp360_tpu.models.resnet import init_resnet_params
+    from cp360_tpu.pipelines.extract import stage1_batch_faces
+
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    rng = np.random.RandomState(0)
+    faces = (rng.rand(1, 6, 32, 32, 3) * 255).astype(np.uint8)
+    kw = dict(arch="resnet18", use_cube_pad=True, compute_dtype=jnp.float32,
+              out_dtype=jnp.float32)
+    scores, sal = stage1_batch_faces(params, faces, codec="none", **kw)
+    q, scales, sal_q = stage1_batch_faces(params, faces, codec="int8", **kw)
+    np.testing.assert_array_equal(np.asarray(sal), np.asarray(sal_q))
+    scores, back = np.asarray(scores), dequantize_cam_np(np.asarray(q), np.asarray(scales))
+    amax = np.max(np.abs(scores), axis=(-3, -2), keepdims=True)
+    assert np.all(np.abs(back - scores) <= np.where(amax > 0, amax, 1.0) / 254.0 + 1e-6)
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    root = tmp_path_factory.mktemp("artifacts_q")
+    rng = np.random.RandomState(3)
+    fd = root / "vidA" / "cube_feat"
+    fd.mkdir(parents=True)
+    for t in range(2, 13):
+        np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float16))
+    return str(root)
+
+
+def test_infer_video_int8_close_to_exact(artifacts):
+    """The full disk path under transfer_codec=int8 tracks the exact path:
+    the window min/max normalization and ConvLSTM see ~0.4%-of-peak input
+    perturbations, so predictions agree to ~1e-2 absolute on order-1 maps."""
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.pipelines.temporal import infer_video
+
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    feat_dir = os.path.join(artifacts, "vidA", "cube_feat")
+    kw = dict(batch_windows=4, compute_dtype=jnp.float32)
+    exact = infer_video(params, feat_dir, 5, transfer_codec="none", **kw)
+    coded = infer_video(params, feat_dir, 5, transfer_codec="int8", **kw)
+    assert sorted(exact) == sorted(coded)
+    for k in exact:
+        scale = max(1e-6, float(np.abs(exact[k]).max()))
+        err = np.abs(coded[k] - exact[k]).max() / scale
+        assert err < 2e-2, (k, err)
+        cc = np.corrcoef(exact[k].ravel(), coded[k].ravel())[0, 1]
+        assert cc > 0.999, (k, cc)

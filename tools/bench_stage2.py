@@ -80,16 +80,25 @@ def main():
                 rng.rand(6, 1000, 7, 7).astype(np.float16))
     pipe = {}
     try:
-        for bw in (batch, batch // 2):
-            t0 = time.time()
-            preds = infer_video(params, feat_dir, 5, batch_windows=bw)
-            n_win = len(preds)
-            pipe[bw] = n_win / (time.time() - t0)
+        # exact f16 upload vs the int8 transfer codec (ops/quantize.py:
+        # half the link bytes on the H2D-bound disk path; same disk format)
+        for codec in ("none", "int8"):
+            for bw in (batch, batch // 2):
+                # first pass warms the jit cache (compile would otherwise
+                # pollute the timing); second pass is the measurement
+                infer_video(params, feat_dir, 5, batch_windows=bw,
+                            transfer_codec=codec)
+                t0 = time.time()
+                preds = infer_video(params, feat_dir, 5, batch_windows=bw,
+                                    transfer_codec=codec)
+                n_win = len(preds)
+                pipe[(codec, bw)] = n_win / (time.time() - t0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
     pipe_str = ", ".join(
-        f"{w:.1f} windows/s infer_video@bw{bw}" for bw, w in pipe.items())
+        f"{w:.1f} windows/s infer_video@bw{bw}/{codec}"
+        for (codec, bw), w in pipe.items())
     print(
         f"stage2 window_infer at batch {batch}: "
         f"{wps_dev:.1f} windows/s device-resident (streaming), "
