@@ -49,7 +49,8 @@ def main(argv=None):
         raise SystemExit(f"no training windows found under {args.input}")
     print(f"{len(ds)} training windows")
     loader = PrefetchLoader(
-        ds, batch_size=cfg.batch_size, shuffle=True, num_threads=cfg.processes
+        ds, batch_size=cfg.batch_size, shuffle=True, num_threads=cfg.processes,
+        transfer_codec=cfg.transfer_codec,
     )
 
     # --data-parallel overrides the config's mesh_data; mesh_model comes

@@ -160,6 +160,7 @@ class PrefetchLoader:
         num_threads: int = 4,
         prefetch: int = 2,
         drop_last: bool = True,
+        transfer_codec: str = "none",
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -168,6 +169,12 @@ class PrefetchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # 'int8': yield ops.quantize.Quantized pytrees instead of raw
+        # arrays — the train step dequantizes in-graph, so the f32 flow
+        # planes (~18.4 MB/window, the dominant training H2D) and the CAM
+        # windows cross the link at 1/4 resp. 1/2 the bytes.  Quantization
+        # runs on this loader's worker thread, overlapping device compute.
+        self.transfer_codec = transfer_codec
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -190,7 +197,14 @@ class PrefetchLoader:
         stop = threading.Event()
 
         def load_batch(idxs):
-            return self.ds.get_batch(idxs, n_threads=self.num_threads)
+            seq, flows = self.ds.get_batch(idxs, n_threads=self.num_threads)
+            if self.transfer_codec == "int8":
+                from cp360_tpu.ops.quantize import Quantized, quantize_cam_np
+
+                seq = Quantized(*quantize_cam_np(seq))
+                if flows.size:  # require_motion=False yields empty planes
+                    flows = Quantized(*quantize_cam_np(flows))
+            return seq, flows
 
         def put(item) -> bool:
             """Queue put that gives up when the consumer stopped iterating."""

@@ -63,6 +63,8 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     step(params, opt_state, seq, flows) -> (params, opt_state, metrics)
       seq:   [B, T, 6, h, w, C] CAM cubes (T = cfg.seq_len)
       flows: [B, T, H, W, 2] optical flow aligned with frames
+    Either batch may instead be an ops.quantize.Quantized pytree (int8 +
+    scales — the loader's transfer_codec); dequantization runs in-graph.
     """
     use_cp = cfg.cube_pad
     mm_th = cfg.mm_th
@@ -70,9 +72,13 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, seq, flows):
-        # accept f16 batches (half the host->device bytes); math is f32+
-        seq = seq.astype(jnp.float32)
-        flows = flows.astype(jnp.float32)
+        # accept f16 batches (half the host->device bytes) or int8
+        # Quantized pytrees (transfer_codec, ops/quantize.py — the f32
+        # flow planes are the dominant training H2D); math is f32+
+        from cp360_tpu.ops.quantize import maybe_dequantize
+
+        seq = maybe_dequantize(seq)
+        flows = maybe_dequantize(flows)
         b, t = seq.shape[0], seq.shape[1]
         # Intra-window normalization, per sample (== reference at its
         # batch_size=1; keeps windows independent of batch packing).

@@ -81,9 +81,13 @@ def artifacts(tmp_path_factory):
     root = tmp_path_factory.mktemp("artifacts_q")
     rng = np.random.RandomState(3)
     fd = root / "vidA" / "cube_feat"
+    md = root / "vidA" / "motion"
     fd.mkdir(parents=True)
+    md.mkdir(parents=True)
     for t in range(2, 13):
         np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float16))
+        # realistic flow scale: a few px of displacement
+        np.save(md / f"{t:06}.npy", (rng.randn(16, 32, 2) * 3).astype(np.float32))
     return str(root)
 
 
@@ -106,3 +110,76 @@ def test_infer_video_int8_close_to_exact(artifacts):
         assert err < 2e-2, (k, err)
         cc = np.corrcoef(exact[k].ravel(), coded[k].ravel())[0, 1]
         assert cc > 0.999, (k, cc)
+
+
+def test_train_step_quantized_batches_close():
+    """The jitted train step accepts Quantized pytrees in place of raw
+    batches (trace-time branch, no signature change) and its loss /
+    gradient direction track the exact step: the flows enter the losses as
+    a warp grid + a magnitude threshold, both stable under ~0.4%-of-peak
+    perturbation."""
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.ops.quantize import Quantized, quantize_cam_np
+    from cp360_tpu.train.loop import make_optimizer, make_train_step
+
+    import optax
+
+    cfg = Config(compute_dtype="float32", flow_h=16)
+    params = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+    rng = np.random.RandomState(0)
+    seq = rng.rand(2, 5, 6, 7, 7, C).astype(np.float32)
+    flows = (rng.randn(2, 5, 16, 32, 2) * 3).astype(np.float32)
+
+    # SGD(1.0): the parameter delta IS the (negated) gradient, so the
+    # update cosine below measures gradient direction (Adam's per-param
+    # normalization would amplify sub-quantization noise into sign flips)
+    opt = optax.sgd(1.0)
+    step = make_train_step(cfg, opt)
+
+    def fresh():  # the step donates params/opt_state — hand it copies
+        p = jax.tree.map(jnp.asarray, params)
+        return p, opt.init(p)
+
+    p_e, _, m_e = step(*fresh(), seq, flows)
+    p_q, _, m_q = step(*fresh(), Quantized(*quantize_cam_np(seq)),
+                       Quantized(*quantize_cam_np(flows)))
+    loss_e, loss_q = float(m_e["loss"]), float(m_q["loss"])
+    assert abs(loss_q - loss_e) / abs(loss_e) < 5e-3, (loss_e, loss_q)
+    # gradients point the same way
+    ve = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(p_e)])
+    vq = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(p_q)])
+    v0 = np.concatenate([np.asarray(l).ravel() for l in jax.tree.leaves(params)])
+    ue, uq = ve - v0, vq - v0
+    cos = float(np.dot(ue, uq) / (np.linalg.norm(ue) * np.linalg.norm(uq)))
+    assert cos > 0.999, cos
+    # the Adam-configured step accepts the same Quantized batches
+    opt_a = make_optimizer(cfg)
+    step_a = make_train_step(cfg, opt_a)
+    p = jax.tree.map(jnp.asarray, params)
+    _, _, m_a = step_a(p, opt_a.init(p), Quantized(*quantize_cam_np(seq)),
+                       Quantized(*quantize_cam_np(flows)))
+    assert np.isfinite(float(m_a["loss"]))
+
+
+def test_train_loop_with_codec_loader(artifacts, tmp_path):
+    """train() end-to-end over a PrefetchLoader(transfer_codec=int8):
+    Quantized batches flow through shard-less and sharded paths unchanged
+    and the loss stays finite."""
+    from cp360_tpu.config import Config
+    from cp360_tpu.data.dataset import PrefetchLoader, WindowDataset
+    from cp360_tpu.ops.quantize import Quantized
+    from cp360_tpu.train.loop import train
+
+    ds = WindowDataset(artifacts, None, ["vidA"], seq_len=5)
+    loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_threads=2,
+                            transfer_codec="int8")
+    batch = next(iter(loader))
+    assert isinstance(batch[0], Quantized) and isinstance(batch[1], Quantized)
+    assert batch[0].q.dtype == np.int8 and batch[1].q.dtype == np.int8
+
+    cfg = Config(compute_dtype="float32", flow_h=16, epochs=1, summary_freq=1,
+                 save_freq=1000, input_size=C, hidden_size=C,
+                 checkpoint_path=str(tmp_path), transfer_codec="int8")
+    params = train(cfg, loader, log_fn=lambda *a, **k: None)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(params))

@@ -44,10 +44,19 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     conv_impl = sys.argv[3] if len(sys.argv) > 3 else "xla"
+    # mode 'device' (bench of record): batches generated on device.
+    # mode 'host': distinct host batches cross the link every step, codec
+    # none vs int8 — measures what the training transfer codec buys when
+    # the loader (not the chip) feeds the step.  The f32 flow planes are
+    # ~18.4 MB/window, so host mode on this tunnel measures the link.
+    mode = sys.argv[4] if len(sys.argv) > 4 else "device"
 
     cfg = Config(clstm_conv_impl=conv_impl)
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, opt)
+    if mode == "host":
+        _host_mode(cfg, opt, step, batch, n_steps)
+        return
 
     @partial(jax.jit, static_argnames=("b",))
     def make_batch(key, b):
@@ -98,6 +107,52 @@ def main():
         with open(os.path.join(REPO, "BENCH_TRAIN.json"), "w") as f:
             json.dump(out, f, indent=2)
     print(json.dumps(out))
+
+
+def _host_mode(cfg, opt, step, batch, n_steps):
+    """Host-fed training throughput, exact vs int8-coded batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.ops.quantize import Quantized, quantize_cam_np
+
+    rng = np.random.RandomState(0)
+    # distinct batches per step (the tunnel content-dedups repeats);
+    # f16 seq / f32 flows = what the loader reads from disk artifacts
+    host = [
+        (rng.rand(batch, cfg.seq_len, 6, 7, 7, 1000).astype(np.float16),
+         (rng.randn(batch, cfg.seq_len, cfg.flow_h, cfg.flow_h * 2, 2) * 3)
+         .astype(np.float32))
+        for _ in range(n_steps + 1)
+    ]
+    results = {}
+    for codec in ("none", "int8"):
+        if codec == "int8":
+            feed = [(Quantized(*quantize_cam_np(s)), Quantized(*quantize_cam_np(f)))
+                    for s, f in host]
+        else:
+            feed = host
+        params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
+        opt_state = opt.init(params)
+        params, opt_state, m = step(params, opt_state, *feed[-1])  # compile
+        float(m["loss"])
+        t0 = time.time()
+        running = jnp.zeros((), jnp.float32)
+        for i in range(n_steps):
+            params, opt_state, m = step(params, opt_state, *feed[i])
+            running = running + m["loss"]
+        assert np.isfinite(float(running))
+        dt = time.time() - t0
+        results[codec] = batch * n_steps / dt
+    mb_exact = (host[0][0].nbytes + host[0][1].nbytes) / 1e6 / batch
+    print(json.dumps({
+        "metric": "train_windows_per_s_hostfed",
+        "exact": round(results["none"], 3),
+        "int8": round(results["int8"], 3),
+        "unit": f"windows/s (host-fed, {mb_exact:.1f} MB/window exact)",
+        "batch": batch, "steps": n_steps,
+    }))
 
 
 if __name__ == "__main__":
