@@ -201,8 +201,7 @@ def _measure(times, done):
 
     from cp360_tpu.models.resnet import init_resnet_params
     from cp360_tpu.pipelines.extract import (
-        host_equi_to_cube_u8,
-        host_rgb_to_yuv420,
+        host_faces_for_upload,
         stage1_batch_faces,
         stage1_batch_faces_yuv,
     )
@@ -241,8 +240,7 @@ def _measure(times, done):
     pool = ThreadPoolExecutor(max_workers=4)
 
     def remap_one(f):
-        faces = host_equi_to_cube_u8(f, 224)
-        return host_rgb_to_yuv420(faces) if yuv else faces
+        return host_faces_for_upload(f, 224, yuv)
 
     def remap(i):
         # host cube sampling, prefetched like the production pipeline
@@ -294,11 +292,13 @@ def _measure(times, done):
     # warmup / compile
     print(f"bench: warmup start ({upload_format}, depth {depth}, "
           f"batch {batch})", file=sys.stderr, flush=True)
+    out = None
     for i in range(n_warm):
         out = run(upload(remap(i)))
         print(f"bench: warmup batch {i} dispatched "
               f"(+{time.time()-t_start:.0f}s)", file=sys.stderr, flush=True)
-    fetch(out)
+    if out is not None:  # BENCH_WARMUP=0: first measured iter compiles
+        fetch(out)
     print(f"bench: warmup done (+{time.time()-t_start:.0f}s)",
           file=sys.stderr, flush=True)
 

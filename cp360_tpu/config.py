@@ -86,8 +86,10 @@ class Config:
     upload_format: str = "rgb8"  # stage-1 face upload: 'rgb8' (exact) |
     #   'yuv420' (BT.601 + 2x2 chroma subsample — halves H2D bytes; error
     #   ~1/255 mean on natural frames, bounded in tests/test_extract.py)
-    upload_depth: int = 2  # H2D batches in flight ahead of compute (a
-    #   dedicated upload thread device_puts batch k+depth while k computes)
+    upload_depth: int = 2  # batches assembled ahead of compute (an assembly
+    #   thread readies host arrays; device_put stays on the MAIN thread —
+    #   it is deferred on this tunnel, and client-thread-concurrent
+    #   transfers intermittently wedge the relay: see extract.assemble)
     transfer_codec: str = "none"  # 'none' | 'int8': per-(face,channel)
     #   symmetric int8 over the CAM feature planes ON THE LINK ONLY (disk
     #   artifacts stay float; ops/quantize.py) — halves stage-1 D2H and the

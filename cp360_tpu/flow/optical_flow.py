@@ -89,13 +89,6 @@ def calc_optical_flow(
 # dispatch.
 
 
-def _shift2(u: jax.Array, dy: int, dx: int) -> jax.Array:
-    """u shifted so out[y, x] = u[y + dy, x + dx], edges clamped."""
-    h, w = u.shape
-    up = jnp.pad(u, ((1, 1), (1, 1)), mode="edge")
-    return jax.lax.dynamic_slice(up, (1 + dy, 1 + dx), (h, w))
-
-
 def _avg_neighbors(u: jax.Array) -> jax.Array:
     """Weighted neighborhood average (Horn-Schunck Laplacian surrogate):
     1/6 edge neighbors + 1/12 diagonal neighbors."""
@@ -318,7 +311,9 @@ def calc_optical_flow_device(
         prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
         cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
 
-    flow = np.asarray(
+    from cp360_tpu.utils.transfer import fetch_np
+
+    flow = fetch_np(  # async-enqueued D2H — plain np.asarray is ~20x slower here
         horn_schunck_flow(
             jnp_.asarray(prev, jnp_.float32) / 255.0,
             jnp_.asarray(cur, jnp_.float32) / 255.0,

@@ -257,7 +257,9 @@ def calc_optical_flow_variational(
         prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
         cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
 
-    flow = np.asarray(
+    from cp360_tpu.utils.transfer import fetch_np
+
+    flow = fetch_np(  # async-enqueued D2H — plain np.asarray is ~20x slower here
         brox_flow(
             jnp.asarray(prev, jnp.float32) / 255.0,
             jnp.asarray(cur, jnp.float32) / 255.0,

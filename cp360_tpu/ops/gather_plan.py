@@ -38,7 +38,6 @@ plan reproduces its exact bilinear semantics (same maps, same clamping).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 
 import numpy as np
 

@@ -38,6 +38,14 @@ def make_pipe_mesh(n_pipe: Optional[int] = None) -> Mesh:
     """A 1-D pipeline mesh over the available devices."""
     devs = jax.devices()
     n_pipe = n_pipe or len(devs)
+    if n_pipe > len(devs):
+        # fail here, not downstream: silently truncating would run serial
+        # (1 device) while the user believes the job is pipelined, or die
+        # later with a misleading T-divisibility error
+        raise ValueError(
+            f"pipeline_stages={n_pipe} but only {len(devs)} device(s) are "
+            f"available on this host/runtime"
+        )
     return Mesh(devs[:n_pipe], (PIPE_AXIS,))
 
 

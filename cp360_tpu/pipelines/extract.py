@@ -151,6 +151,17 @@ def host_rgb_to_yuv420(faces_u8: np.ndarray):
             np.clip(uv + 0.5, 0, 255).astype(np.uint8))
 
 
+def host_faces_for_upload(frame_u8: np.ndarray, cube_dim: int, yuv: bool):
+    """Cube-sample a frame on host and package it for upload.
+
+    The one shared definition of the remap(+optional 4:2:0) preprocessing —
+    extract, streaming, and the benches all feed the device through this,
+    so a change to the upload format cannot silently diverge them.
+    """
+    faces = host_equi_to_cube_u8(frame_u8, cube_dim)
+    return host_rgb_to_yuv420(faces) if yuv else faces
+
+
 def _device_yuv420_to_rgb01(y_u8: jax.Array, uv_u8: jax.Array) -> jax.Array:
     """Inverse of :func:`host_rgb_to_yuv420` on device -> float RGB in [0,1].
 
@@ -354,8 +365,17 @@ def extract_video(
 
     flow_fn = get_flow_fn(cfg.flow_backend)
     # flow is the slowest host stage (SURVEY.md §3.1 hot spot #3); cv2
-    # releases the GIL, so frame pairs run across a worker pool
-    flow_pool = ThreadPoolExecutor(max_workers=cfg.processes) if cfg.opt_flow and output_motion else None
+    # releases the GIL, so frame pairs run across a worker pool.  DEVICE
+    # flow backends must NOT run on the pool: their H2D/D2H would race the
+    # main thread's batch transfers, and client-thread-concurrent
+    # transfers intermittently wedge this relay (see assemble()) — they
+    # run synchronously on the main thread instead (serialized with the
+    # device step; at ~0.1 s/pair they dominate extraction wall-clock,
+    # which is why farneback stays the production default here).
+    device_flow = cfg.flow_backend in ("horn_schunck", "variational")
+    flow_pool = (ThreadPoolExecutor(max_workers=cfg.processes)
+                 if cfg.opt_flow and output_motion and not device_flow else None)
+    flow_inline = cfg.opt_flow and output_motion and device_flow
     # cube remap is the next-slowest host stage (~12 ms/frame): submit it
     # per-frame at decode time so it overlaps decode + the previous batch's
     # transfer/compute instead of serializing inside submit()
@@ -475,8 +495,7 @@ def extract_video(
     uploads: deque = deque()  # (batch, future of host arrays)
 
     def remap_job(frame_u8):
-        faces = host_equi_to_cube_u8(frame_u8, cfg.cube_dim)
-        return host_rgb_to_yuv420(faces) if yuv else faces
+        return host_faces_for_upload(frame_u8, cfg.cube_dim, yuv)
 
     def drain_one():
         nonlocal pending
@@ -512,6 +531,8 @@ def extract_video(
                 flow = flow_pool.submit(
                     flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
                 )
+            elif flow_inline:  # device backend: main-thread transfers only
+                flow = flow_fn(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
             faces_fut = (remap_pool.submit(remap_job, frame_u8)
                          if remap_pool is not None else None)
             batch.append((cnt, frame_u8, pil_img, flow, faces_fut))

@@ -25,8 +25,7 @@ import numpy as np
 from cp360_tpu.config import Config
 from cp360_tpu.pipelines.extract import (
     _resize_frame_pil,
-    host_equi_to_cube_u8,
-    host_rgb_to_yuv420,
+    host_faces_for_upload,
     stage1_batch_faces,
     stage1_batch_faces_yuv,
 )
@@ -90,8 +89,7 @@ def stream_video_saliency(
 
 
 def _remap_job(frame_u8, cube_dim, yuv):
-    faces = host_equi_to_cube_u8(frame_u8, cube_dim)
-    return host_rgb_to_yuv420(faces) if yuv else faces
+    return host_faces_for_upload(frame_u8, cube_dim, yuv)
 
 
 def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,

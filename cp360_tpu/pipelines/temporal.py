@@ -19,7 +19,7 @@ over the mesh's data axis for multi-chip.
 from __future__ import annotations
 
 import os
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List
 
 import jax
@@ -98,14 +98,10 @@ def window_infer_pipelined(
     stage p-1.  Exactly equal to :func:`window_infer` (same op order, same
     state chain); requires T % pipe_size == 0 and n_micro | B.
     """
-    x, b = _normalize_windows(windows)
-    h0 = c0 = x[0]
-    _, h_final, _ = pipelined_rollout(
-        params, x, h0, c0, pipe_mesh, n_micro,
-        use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
-        conv_impl=conv_impl,
+    fn = _pipelined_infer_fn(
+        pipe_mesh, n_micro, use_cube_pad, compute_dtype, conv_impl, None
     )
-    return _project_hidden(h_final, b)
+    return fn(params, windows, None)
 
 
 def window_infer_from_frames_pipelined(
@@ -121,12 +117,41 @@ def window_infer_from_frames_pipelined(
 ) -> jax.Array:
     """Pipelined form of :func:`window_infer_from_frames` (same on-device
     window assembly, recurrence pipelined over the pipe mesh)."""
-    idx = positions[:, None] + jnp.arange(seq_len)[None, :]
-    windows = frames[idx]
-    return window_infer_pipelined(
-        params, windows, pipe_mesh, n_micro, use_cube_pad=use_cube_pad,
-        compute_dtype=compute_dtype, conv_impl=conv_impl,
+    fn = _pipelined_infer_fn(
+        pipe_mesh, n_micro, use_cube_pad, compute_dtype, conv_impl, seq_len
     )
+    return fn(params, frames, positions)
+
+
+@lru_cache(maxsize=32)
+def _pipelined_infer_fn(pipe_mesh, n_micro: int, use_cube_pad: bool,
+                        compute_dtype, conv_impl: str, seq_len):
+    """Cached jitted graph for the pipelined window protocol.
+
+    The whole chain — window gather (seq_len set), joint normalization,
+    pipelined rollout, equi projection — runs as ONE jit: dispatched
+    eagerly these ops are pathological on this libtpu (CLAUDE.md:
+    standalone gathers/convs run orders of magnitude below their in-graph
+    form), which would erase the pipelining win the config key exists to
+    deliver.  ``seq_len=None`` builds the pre-stacked-windows form.
+    """
+
+    def fn(params, windows_or_frames, positions):
+        if seq_len is not None:
+            idx = positions[:, None] + jnp.arange(seq_len)[None, :]
+            windows = windows_or_frames[idx]
+        else:
+            windows = windows_or_frames
+        x, b = _normalize_windows(windows)
+        h0 = c0 = x[0]
+        _, h_final, _ = pipelined_rollout(
+            params, x, h0, c0, pipe_mesh, n_micro,
+            use_cube_pad=use_cube_pad, compute_dtype=compute_dtype,
+            conv_impl=conv_impl,
+        )
+        return _project_hidden(h_final, b)
+
+    return jax.jit(fn)  # positions=None is an empty pytree in the stacked form
 
 
 @partial(jax.jit, static_argnames=("seq_len", "use_cube_pad", "compute_dtype", "conv_impl"))

@@ -23,8 +23,7 @@ def main():
     from cp360_tpu.models.clstm import init_clstm_params
     from cp360_tpu.models.resnet import init_resnet_params
     from cp360_tpu.pipelines.extract import (
-        host_equi_to_cube_u8,
-        host_rgb_to_yuv420,
+        host_faces_for_upload,
         stage1_batch_faces,
         stage1_batch_faces_yuv,
     )
@@ -44,8 +43,7 @@ def main():
     from concurrent.futures import ThreadPoolExecutor
 
     def remap(f):
-        faces = host_equi_to_cube_u8(f, 224)
-        return host_rgb_to_yuv420(faces) if yuv else faces
+        return host_faces_for_upload(f, 224, yuv)
 
     pool = ThreadPoolExecutor(max_workers=4)
     futs = [pool.submit(remap, f) for f in frames]
