@@ -102,6 +102,12 @@ class Config:
     #   window batches through parallel/pipeline.py
     pipeline_microbatches: int = 4  # window microbatches in flight through
     #   the pipe (clamped to divide the actual window count)
+    serve_max_batch: int = 8  # serving: concurrent /saliency requests
+    #   coalesced into one fused device step (serving/batcher.py); 1
+    #   disables grouping (every request runs alone)
+    serve_batch_window_ms: float = 5.0  # serving: how long the device
+    #   worker waits after a request arrives for others to join its batch
+    #   (paid only when the queue is shallower than serve_max_batch)
 
     @property
     def frame_hw(self):

@@ -24,10 +24,16 @@ latency at a time.  A raw (h, c) carry across frames would be cheaper but
 is NOT the protocol the published numbers use — the eval re-seeds state
 per window — so the window ring is the faithful serving mode.
 
-Requests are served from a single device worker thread (JAX computations
-are enqueued; the HTTP layer is ThreadingHTTPServer).  Frames are resized
-to the configured operating point on host, exactly like the offline
-pipeline.
+Concurrent requests are coalesced by a dynamic batcher (serving/batcher.py):
+host prep (decode, resize, cube remap, optional 4:2:0 pack) runs on the
+HTTP handler threads, then all device work funnels through one worker
+thread that groups up to ``serve_max_batch`` pending stage-1 requests
+(waiting at most ``serve_batch_window_ms`` after the first) into ONE fused
+device step, padded to a power-of-two bucket so the jit cache stays small.
+Single-threaded device access is also what this host's transfer relay
+requires (concurrent client-thread transfers intermittently wedge it).
+Frames are resized to the configured operating point on host, exactly like
+the offline pipeline.
 """
 
 from __future__ import annotations
@@ -56,6 +62,8 @@ class SaliencyModel:
                  clstm_params: dict | None = None):
         import jax.numpy as jnp
 
+        from cp360_tpu.serving.batcher import DynamicBatcher
+
         self.params = params
         self.cfg = cfg
         self.arch = arch
@@ -63,10 +71,33 @@ class SaliencyModel:
         self._jnp = jnp
         self._lock = threading.Lock()
         self._sessions: dict = {}  # id -> list of device [6, h, w, C] cubes
+        # every transfer/dispatch goes through either the batcher worker or
+        # a section holding _device_lock — never two threads at once (the
+        # relay wedges on concurrent client-thread transfers)
+        self._device_lock = threading.Lock()
+        self._batcher = DynamicBatcher(
+            self._run_stage1_batch,
+            max_batch=max(1, cfg.serve_max_batch),
+            window_ms=cfg.serve_batch_window_ms,
+            name="stage1",
+        )
 
     def warmup(self) -> None:
+        """Compile every stage-1 bucket size (and the temporal path) so the
+        first real burst doesn't pay a multi-second device compile."""
+        from cp360_tpu.serving.batcher import bucket_size
+
         dummy = np.zeros((self.cfg.equi_w, self.cfg.equi_h, 3), np.uint8)
-        self.predict(dummy)
+        prep = self._host_prep(dummy)
+        b, seen = 1, set()
+        while True:
+            bs = bucket_size(b, self._batcher.max_batch)
+            if bs not in seen:
+                seen.add(bs)
+                self._run_stage1_batch([prep] * bs)
+            if bs >= self._batcher.max_batch:
+                break
+            b *= 2
         if self.clstm_params is not None:
             sid = self.temporal_start()
             for _ in range(self.cfg.seq_len):
@@ -77,46 +108,68 @@ class SaliencyModel:
         jnp = self._jnp
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    def _stage1(self, frame_u8: np.ndarray):
-        """Resize + remap + fused stage-1 step.  Returns (scores [6,h,w,C]
-        device, sal [2h,4w] device).  Honors ``upload_format: yuv420``
-        (halves the per-request H2D bytes; error bounded like extraction)."""
+    def _host_prep(self, frame_u8: np.ndarray):
+        """Resize + cube remap + optional 4:2:0 pack — pure host work, runs
+        on the calling (HTTP handler) thread so requests prep in parallel."""
         from PIL import Image
 
         from cp360_tpu.pipelines.extract import (
             host_equi_to_cube_u8,
             host_rgb_to_yuv420,
-            stage1_batch_faces,
-            stage1_batch_faces_yuv,
         )
 
-        jnp = self._jnp
         wh = (self.cfg.equi_h, self.cfg.equi_w)
         img = Image.fromarray(frame_u8).resize(
             wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
         )
         faces = host_equi_to_cube_u8(np.asarray(img, np.uint8), self.cfg.cube_dim)
         if self.cfg.upload_format == "yuv420":
-            y, uv = host_rgb_to_yuv420(faces)
-            scores, sal = stage1_batch_faces_yuv(
-                self.params, jnp.asarray(y[None]), jnp.asarray(uv[None]),
+            return host_rgb_to_yuv420(faces)
+        return (faces,)
+
+    def _run_stage1_batch(self, preps: list):
+        """Batcher callback: N prepped requests -> ONE fused device step.
+
+        Pads the group to a power-of-two bucket (repeating the last item) so
+        the jit cache holds ~log2(max_batch) executables, fetches the batch's
+        saliency in one async D2H, and hands each caller (scores_i [6,h,w,C]
+        device, sal_i [2h,4w] np.float32).
+        """
+        from cp360_tpu.pipelines.extract import (
+            stage1_batch_faces,
+            stage1_batch_faces_yuv,
+        )
+        from cp360_tpu.serving.batcher import bucket_size
+        from cp360_tpu.utils.transfer import fetch_np
+
+        jnp = self._jnp
+        n = len(preps)
+        b = bucket_size(n, self._batcher.max_batch)
+        padded = list(preps) + [preps[-1]] * (b - n)
+        stacked = [np.stack(parts) for parts in zip(*padded)]
+        fn = (stage1_batch_faces_yuv if self.cfg.upload_format == "yuv420"
+              else stage1_batch_faces)
+        with self._device_lock:
+            scores, sal = fn(
+                self.params, *(jnp.asarray(s) for s in stacked),
                 arch=self.arch, use_cube_pad=self.cfg.cube_pad,
                 compute_dtype=self._compute_dtype(),
             )
-        else:
-            scores, sal = stage1_batch_faces(
-                self.params, jnp.asarray(faces[None]), arch=self.arch,
-                use_cube_pad=self.cfg.cube_pad, compute_dtype=self._compute_dtype(),
-            )
-        return scores[0], sal[0]
+            sal_np = fetch_np(sal)
+        return [(scores[i], sal_np[i]) for i in range(n)]
+
+    def _stage1(self, frame_u8: np.ndarray):
+        """One frame through the batched stage-1 path.  Returns
+        (scores [6,h,w,C] device, sal [2h,4w] np.float32)."""
+        return self._batcher.submit(self._host_prep(frame_u8))
 
     def predict(self, frame_u8: np.ndarray) -> np.ndarray:
-        """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32)."""
-        from cp360_tpu.utils.transfer import fetch_np
+        """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32).
 
-        with self._lock:
-            _, sal = self._stage1(frame_u8)
-            return fetch_np(sal)
+        Thread-safe and batch-coalesced: concurrent callers share one fused
+        device step (see serving/batcher.py)."""
+        _, sal = self._stage1(frame_u8)
+        return sal
 
     # ---- temporal streaming sessions ------------------------------------
 
@@ -171,14 +224,17 @@ class SaliencyModel:
             if len(sess["frames"]) < seq_len:
                 return idx, None
             window = jnp.stack(sess["frames"])[None]  # [1, T, 6, h, w, C]
-            sal = window_infer(
-                self.clstm_params, window, use_cube_pad=self.cfg.cube_pad,
-                compute_dtype=self._compute_dtype(),
-                conv_impl=self.cfg.clstm_conv_impl,
-            )
             from cp360_tpu.utils.transfer import fetch_np
 
-            return idx, fetch_np(sal)[0]
+            # hold the device lock so this dispatch+fetch can't interleave
+            # with the batcher worker's transfers (single-client-thread rule)
+            with self._device_lock:
+                sal = window_infer(
+                    self.clstm_params, window, use_cube_pad=self.cfg.cube_pad,
+                    compute_dtype=self._compute_dtype(),
+                    conv_impl=self.cfg.clstm_conv_impl,
+                )
+                return idx, fetch_np(sal)[0]
 
     def temporal_close(self, sid: str) -> None:
         with self._lock:
@@ -208,6 +264,11 @@ def make_handler(model: SaliencyModel):
                     "frame_hw": list(model.cfg.frame_hw),
                     "temporal": model.clstm_params is not None,
                     "seq_len": model.cfg.seq_len,
+                    "batching": {
+                        "max_batch": model._batcher.max_batch,
+                        "window_ms": model._batcher.window_s * 1000.0,
+                        **model._batcher.stats,
+                    },
                 }
                 self._send(200, json.dumps(info).encode())
             else:

@@ -19,7 +19,10 @@ from PIL import Image  # noqa: E402
 
 @pytest.fixture(scope="module")
 def server():
-    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32")
+    # serve_max_batch=2 keeps warmup to two bucket compiles in CI; the
+    # batching-specific tests below build their own models
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32",
+                 serve_max_batch=2)
     params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
     model = SaliencyModel(params, cfg, arch="resnet18")
     httpd = serve(model, host="127.0.0.1", port=0, warmup=True)
@@ -91,7 +94,7 @@ def temporal_server():
     from cp360_tpu.models.clstm import init_clstm_params
 
     cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=3,
-                 compute_dtype="float32")
+                 compute_dtype="float32", serve_max_batch=2)
     params = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
     clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
     model = SaliencyModel(params, cfg, arch="resnet18", clstm_params=clstm)
@@ -189,6 +192,98 @@ def test_idle_sessions_evicted(temporal_server, monkeypatch):
     assert sid not in model._sessions
     assert sid2 in model._sessions
     model.temporal_close(sid2)
+
+
+# ---- dynamic request batching ----------------------------------------------
+
+
+def test_bucket_size():
+    from cp360_tpu.serving.batcher import bucket_size
+
+    assert [bucket_size(n, 8) for n in (1, 2, 3, 4, 5, 8, 9)] == [1, 2, 4, 4, 8, 8, 8]
+    assert bucket_size(5, 6) == 6 and bucket_size(7, 6) == 6
+    assert bucket_size(3, 1) == 1
+
+
+def test_batcher_groups_and_orders():
+    from cp360_tpu.serving.batcher import DynamicBatcher
+
+    calls = []
+
+    def run(items):
+        calls.append(list(items))
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(run, max_batch=4, window_ms=2000.0, name="t")
+    assert b.submit(1) == 10  # singleton passes straight through
+
+    # 5 concurrent submitters: the 2 s window dwarfs thread-start skew, so
+    # the worker groups them into a full batch of 4 plus a remainder
+    results = {}
+
+    def worker(i):
+        results[i] = b.submit(i)
+
+    ths = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert results == {i: i * 10 for i in range(5)}
+    assert len(calls) <= 3  # warm single + at most 2 groups
+    assert b.stats["items"] == 6 and b.stats["max_group"] >= 2
+    assert all(len(c) <= 4 for c in calls)
+    b.close()
+
+
+def test_batcher_error_propagates_and_close_rejects():
+    from cp360_tpu.serving.batcher import DynamicBatcher
+
+    def run(items):
+        raise ValueError("boom")
+
+    b = DynamicBatcher(run, max_batch=2, window_ms=1.0)
+    with pytest.raises(ValueError, match="boom"):
+        b.submit(1)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(2)
+
+
+def test_batched_predictions_match_serial():
+    """Concurrent predict() calls coalesce into one padded device step and
+    return exactly what each request would get alone."""
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32",
+                 serve_max_batch=4, serve_batch_window_ms=500.0)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    model = SaliencyModel(params, cfg, arch="resnet18")
+    rng = np.random.RandomState(7)
+    frames = [(rng.rand(128, 256, 3) * 255).astype(np.uint8) for _ in range(3)]
+
+    serial = [model.predict(f) for f in frames]  # each runs as a batch of 1
+
+    out = [None] * len(frames)
+
+    def worker(i):
+        out[i] = model.predict(frames[i])
+
+    ths = [threading.Thread(target=worker, args=(i,)) for i in range(len(frames))]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    for a, b in zip(serial, out):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+    assert model._batcher.stats["max_group"] >= 2  # grouping actually happened
+    model._batcher.close()
+
+
+def test_healthz_reports_batching(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("GET", "/healthz")
+    info = json.loads(conn.getresponse().read())
+    bat = info["batching"]
+    assert bat["max_batch"] == 2 and bat["batches"] >= 1 and bat["items"] >= 1
 
 
 def test_predict_yuv420_close_to_rgb8():
