@@ -212,6 +212,53 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
         os.remove(os.path.join(ckpt_dir, f))
 
 
+class GracefulShutdown:
+    """Preemption tolerance (SURVEY §5.3): the first SIGTERM/SIGINT asks the
+    epoch loop to finish the in-flight step, checkpoint the FULL train state,
+    and return cleanly; a second signal falls through to the previous
+    handlers (hard stop).  TPU VMs get SIGTERM on preemption — the reference
+    driver would lose everything since its last weight snapshot (and its
+    resume path is dead code, train_temporal.py:244-249).
+
+    No-op outside the main thread (CPython only allows handler installation
+    there); tests and notebook usage in worker threads keep working.
+    """
+
+    def __init__(self, log_fn=print):
+        self.requested = False
+        self._prev: dict = {}
+        self._log = log_fn
+
+    def __enter__(self):
+        import signal
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                self._prev[sig] = signal.signal(sig, self._handle)
+        except ValueError:  # not the main thread
+            self._prev = {}
+        return self
+
+    def _handle(self, signum, frame):
+        self.requested = True
+        self._log(
+            f"signal {signum}: finishing the current step, saving the train "
+            "state, then exiting (send again to stop immediately)"
+        )
+        self._restore()  # second signal = previous (default) behaviour
+
+    def _restore(self):
+        import signal
+
+        for sig, h in self._prev.items():
+            signal.signal(sig, h)
+        self._prev = {}
+
+    def __exit__(self, *exc):
+        self._restore()
+        return False
+
+
 def train(
     cfg: Config,
     loader,
@@ -285,6 +332,7 @@ def train(
         stack.callback(ck.close)
         stack.enter_context(logger)
         stack.enter_context(maybe_profile(cfg.profile_dir))
+        shutdown = stack.enter_context(GracefulShutdown(log_fn))
         for epoch in range(start_epoch, cfg.epochs):
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
@@ -334,6 +382,20 @@ def train(
                     )
                     ck.save(params, opt_state, it, epoch)
                     prune_checkpoints(ckdir, cfg.keep_checkpoints)
+                if shutdown.requested:
+                    # preemption: persist everything needed for an exact
+                    # resume (params + Adam moments + counters), then leave
+                    # through the ExitStack (flushes async saves + logger)
+                    save_checkpoint(
+                        os.path.join(ckdir, checkpoint_name(epoch, it)), params
+                    )
+                    ck.save(params, opt_state, it, epoch)
+                    logger.log("train_interrupted", epoch=epoch, iter=it)
+                    log_fn(
+                        f"graceful shutdown at iter {it} (epoch {epoch}); "
+                        "resume with resume_state='latest'"
+                    )
+                    return params
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
             ck.save(params, opt_state, it, epoch + 1)

@@ -238,6 +238,54 @@ def test_train_aborts_on_nonfinite_loss(tmp_path):
         train(cfg, [(seq, flows)], params=params, log_fn=lambda *a, **k: None)
 
 
+def test_graceful_shutdown_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-epoch: the loop finishes the in-flight step, saves the
+    FULL train state, and returns; resume_state='latest' then continues
+    bit-exactly where the continuous run would be."""
+    import signal
+
+    from cp360_tpu.train.loop import train
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16, seq_len=5,
+                 batch_size=2, epochs=1, summary_freq=10**9, save_freq=10**9,
+                 compute_dtype="float32", lr=1e-3,
+                 checkpoint_path=str(tmp_path / "ck"))
+    batches = [_batch(i) for i in range(3)]
+    params0 = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+
+    # continuous reference: three steps
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+    p = jax.device_put(params0)
+    o = opt.init(p)
+    for seq, fl in batches:
+        p, o, _ = step(p, o, seq, fl)
+    want = np.asarray(p["gates"]["w"])
+
+    def interrupted_loader():
+        yield batches[0]
+        # delivered synchronously in the main thread: the loop's handler
+        # sets the flag, the in-flight batch still completes, then the loop
+        # checkpoints and returns
+        signal.raise_signal(signal.SIGTERM)
+        yield batches[1]
+        raise AssertionError("loop should have exited after the signal")
+
+    logs = []
+    train(cfg, interrupted_loader(), params=dict(params0),
+          log_fn=lambda *a, **k: logs.append(a))
+    from cp360_tpu.train.checkpoint import make_checkpointer
+    from cp360_tpu.train.loop import checkpoint_dir
+
+    ck = make_checkpointer("npz", checkpoint_dir(cfg))
+    assert ck.has_state()  # the preemption save happened
+    assert any("graceful shutdown" in str(a) for a in logs)
+
+    p_res = train(cfg, [batches[2]], params=dict(params0),
+                  resume_state="latest", log_fn=lambda *a, **k: None)
+    np.testing.assert_allclose(np.asarray(p_res["gates"]["w"]), want, atol=1e-7)
+
+
 def test_checkpoint_pruning(tmp_path):
     """keep_checkpoints prunes the oldest CLSTM_* weight snapshots but never
     epoch snapshots or the train state."""
