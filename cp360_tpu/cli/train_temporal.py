@@ -48,8 +48,24 @@ def main(argv=None):
     if len(ds) == 0:
         raise SystemExit(f"no training windows found under {args.input}")
     print(f"{len(ds)} training windows")
+    batch_size = cfg.batch_size
+    if cfg.segment_windows > 1:
+        # segment ingestion: each batch element is a contiguous run of
+        # segment_windows stride-1 windows, shipped as ONE frame run and
+        # re-windowed in-graph (train/loop.py::expand_segments)
+        if cfg.batch_size % cfg.segment_windows:
+            raise SystemExit(
+                f"batch_size ({cfg.batch_size}) must be divisible by "
+                f"segment_windows ({cfg.segment_windows})"
+            )
+        from cp360_tpu.data.dataset import SegmentWindowDataset
+
+        ds = SegmentWindowDataset(ds, cfg.segment_windows)
+        batch_size = cfg.batch_size // cfg.segment_windows
+        print(f"{len(ds)} segments of {cfg.segment_windows} windows "
+              f"({ds.n_windows} windows reachable)")
     loader = PrefetchLoader(
-        ds, batch_size=cfg.batch_size, shuffle=True, num_threads=cfg.processes,
+        ds, batch_size=batch_size, shuffle=True, num_threads=cfg.processes,
         transfer_codec=cfg.transfer_codec,
     )
 

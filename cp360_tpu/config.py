@@ -108,6 +108,16 @@ class Config:
     serve_batch_window_ms: float = 5.0  # serving: how long the device
     #   worker waits after a request arrives for others to join its batch
     #   (paid only when the queue is shallower than serve_max_batch)
+    segment_windows: int = 1  # >1: the training loader yields SEGMENTS of
+    #   G consecutive stride-1 windows as one contiguous frame run
+    #   (G + seq_len - 1 frames shipped ONCE instead of each frame up to
+    #   seq_len times — the reference re-reads every frame per window,
+    #   data/dataset.py:53-80); the train step re-assembles the windows
+    #   in-graph (train/loop.py::expand_segments), with gradients
+    #   IDENTICAL to feeding the G windows directly (tested).  Cuts the
+    #   dominant training H2D ~G*T/(G+T-1)x at the cost of windows within
+    #   a batch being temporally adjacent in groups of G (shuffling is
+    #   across segments).  batch_size must be divisible by segment_windows.
 
     @property
     def frame_hw(self):

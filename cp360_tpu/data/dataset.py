@@ -143,6 +143,101 @@ class WindowDataset:
         return seq, flows
 
 
+class SegmentWindowDataset:
+    """Groups of ``group`` consecutive windows loaded as ONE frame run.
+
+    Segment (vid, s) covers windows s .. s+group-1, i.e. frames
+    s .. s+F-1 with F = group + seq_len - 1: each frame's CAM/flow is read
+    and shipped once instead of up to seq_len times (the reference loads
+    every window independently, data/dataset.py:53-80, so a stride-1 epoch
+    reads each frame ~seq_len times).  The train step re-assembles the
+    stride-1 windows in-graph (train/loop.py::expand_segments) — the
+    optimizer update is identical to feeding the windows directly.
+
+    Segments only span runs of consecutive start indices of the base
+    dataset (a gap in the artifact numbering ends the run); ragged run
+    tails of fewer than ``group`` windows are dropped to keep batch shapes
+    static.
+    """
+
+    def __init__(self, base: WindowDataset, group: int):
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
+        self.base = base
+        self.group = group
+        self.seq_len = base.seq_len
+        self.segments: List[Tuple[str, int]] = []  # (vid, first start index)
+        run: List[int] = []
+        prev_vid = None
+
+        def flush(vid, starts):
+            for i in range(0, len(starts) - group + 1, group):
+                self.segments.append((vid, starts[i]))
+
+        for vid, start in base.windows:  # sorted per video, ascending starts
+            if vid != prev_vid or (run and start != run[-1] + 1):
+                if run:
+                    flush(prev_vid, run)
+                run = []
+                prev_vid = vid
+            run.append(start)
+        if run:
+            flush(prev_vid, run)
+
+    def __len__(self) -> int:
+        return len(self.segments)
+
+    @property
+    def n_windows(self) -> int:
+        return len(self.segments) * self.group
+
+    def get_batch(self, idxs, n_threads: int = 0):
+        """Batch of segments -> (seq [S, F, 6, h, w, C], flows [S, F, H, W, 2])
+        with F = group + seq_len - 1 (native loader when available)."""
+        b = self.base
+        f = self.group + self.seq_len - 1
+        cam_paths, flow_paths = [], []
+        for i in idxs:
+            vid, start = self.segments[int(i)]
+            for off in range(f):
+                cam_paths.append(b._frame_path(b.feat_root, vid, "cube_feat", start + off))
+                if b.require_motion:
+                    flow_paths.append(b._frame_path(b.motion_root, vid, "motion", start + off))
+
+        s = len(idxs)
+        try:
+            from cp360_tpu.native import load_npy_batch
+
+            (cam_shape, cam_dtype), flow_info = b._probe_shapes()
+        except Exception:
+            for p in cam_paths:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"missing CAM frame {p}")
+            for p in flow_paths:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(f"missing flow frame {p}")
+            cams = np.stack([np.load(p) for p in cam_paths])
+            cams = cams.reshape(s, f, *cams.shape[1:])
+            seq = np.ascontiguousarray(cams.transpose(0, 1, 2, 4, 5, 3))
+            if b.require_motion:
+                flows = np.stack([np.load(p) for p in flow_paths])
+                flows = flows.reshape(s, f, *flows.shape[1:])
+            else:
+                flows = np.zeros((s, f, 0, 0, 2), np.float32)
+            return seq, flows
+
+        cams = load_npy_batch(cam_paths, cam_shape, cam_dtype, n_threads)
+        cams = cams.reshape(s, f, *cam_shape)
+        seq = np.ascontiguousarray(cams.transpose(0, 1, 2, 4, 5, 3))
+        if b.require_motion:
+            (flow_shape, flow_dtype) = flow_info
+            flows = load_npy_batch(flow_paths, flow_shape, flow_dtype, n_threads)
+            flows = flows.reshape(s, f, *flow_shape)
+        else:
+            flows = np.zeros((s, f, 0, 0, 2), np.float32)
+        return seq, flows
+
+
 class PrefetchLoader:
     """Shuffled, batched, background-prefetching iterator over a dataset.
 

@@ -57,6 +57,22 @@ def predictions_from_hiddens(hiddens: jax.Array, batch: int) -> jax.Array:
     return preds.reshape(t, batch, *preds.shape[1:])
 
 
+def expand_segments(x: jax.Array, group: int) -> jax.Array:
+    """[S, F, ...] contiguous frame runs -> [S*group, T, ...] stride-1
+    windows, T = F - group + 1.
+
+    The device-side half of segment ingestion (config ``segment_windows``):
+    the loader ships each frame of a segment ONCE and this static-slice
+    stack (XLA lowers it as slices + concat, no gather) rebuilds the same
+    [B, T, ...] window batch the direct loader would have produced — window
+    (s, k) lands at index s*group + k, matching SegmentWindowDataset's
+    enumeration order (data/dataset.py).
+    """
+    t = x.shape[1] - group + 1
+    w = jnp.stack([x[:, k : k + t] for k in range(group)], axis=1)
+    return w.reshape(x.shape[0] * group, t, *x.shape[2:])
+
+
 def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Callable:
     """Build the jitted train step.
 
@@ -65,10 +81,17 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
       flows: [B, T, H, W, 2] optical flow aligned with frames
     Either batch may instead be an ops.quantize.Quantized pytree (int8 +
     scales — the loader's transfer_codec); dequantization runs in-graph.
+
+    With cfg.segment_windows = G > 1 the step instead takes contiguous
+    frame runs seq [S, F, ...] / flows [S, F, ...] (F = G + T - 1) and
+    assembles the G stride-1 windows per segment in-graph — the update is
+    identical to feeding the [S*G, T, ...] windows directly (tested in
+    tests/test_train_segment.py) while each frame crosses the link once.
     """
     use_cp = cfg.cube_pad
     mm_th = cfg.mm_th
     flow_h = cfg.flow_h
+    group = cfg.segment_windows
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     def loss_fn(params, seq, flows):
@@ -79,6 +102,12 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
 
         seq = maybe_dequantize(seq)
         flows = maybe_dequantize(flows)
+        if group > 1:
+            # dequantize FIRST: quantization scales are per frame plane, so
+            # expanding after dequant is value-identical to quantizing each
+            # window's own copy of the frame (same amax -> same scale)
+            seq = expand_segments(seq, group)
+            flows = expand_segments(flows, group)
         b, t = seq.shape[0], seq.shape[1]
         # Intra-window normalization, per sample (== reference at its
         # batch_size=1; keeps windows independent of batch packing).

@@ -16,9 +16,13 @@ vs_baseline = speedup over the reference driver's measured torch-CPU
 steps/s x its batch of 1 (BENCH_TRAIN_BASELINE.json).
 
 Usage: python tools/bench_train.py [batch=4] [n_steps=8] [conv_impl=xla]
+                                   [mode=device] [segment_windows=1]
 (conv_impl "pallas" swaps the ConvLSTM convs to the fused Pallas kernel —
 config ``clstm_conv_impl`` — for an end-to-end comparison; the JSON is only
-written for the default xla path so the bench of record stays stable.)
+written for the default xla path so the bench of record stays stable.
+mode "host" feeds distinct host batches through the link, exact vs int8
+codec; segment_windows > 1 additionally ships contiguous frame runs once
+and re-windows in-graph — config ``segment_windows``.)
 """
 
 import json
@@ -50,13 +54,19 @@ def main():
     # the loader (not the chip) feeds the step.  The f32 flow planes are
     # ~18.4 MB/window, so host mode on this tunnel measures the link.
     mode = sys.argv[4] if len(sys.argv) > 4 else "device"
+    # host mode only: group windows into segments of G consecutive windows
+    # (config segment_windows) — each frame crosses the link once and the
+    # step re-windows in-graph (train/loop.py::expand_segments)
+    group = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
-    cfg = Config(clstm_conv_impl=conv_impl)
+    cfg = Config(clstm_conv_impl=conv_impl, segment_windows=group)
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, opt)
     if mode == "host":
-        _host_mode(cfg, opt, step, batch, n_steps)
+        _host_mode(cfg, opt, step, batch, n_steps, group)
         return
+    if group > 1:
+        raise SystemExit("segment_windows only applies to mode=host")
 
     @partial(jax.jit, static_argnames=("b",))
     def make_batch(key, b):
@@ -109,20 +119,30 @@ def main():
     print(json.dumps(out))
 
 
-def _host_mode(cfg, opt, step, batch, n_steps):
-    """Host-fed training throughput, exact vs int8-coded batches."""
+def _host_mode(cfg, opt, step, batch, n_steps, group=1):
+    """Host-fed training throughput, exact vs int8-coded batches.
+
+    group > 1: feed [S, F, ...] segment runs (S = batch/group windows'
+    worth of segments, F = group + seq_len - 1 frames each) instead of
+    [batch, seq_len, ...] windows — same optimizer math, ~group*T/(G+T-1)x
+    fewer bytes on the link.
+    """
     import jax
     import jax.numpy as jnp
 
     from cp360_tpu.models.clstm import init_clstm_params
     from cp360_tpu.ops.quantize import Quantized, quantize_cam_np
 
+    if batch % group:
+        raise SystemExit(f"batch ({batch}) must be divisible by group ({group})")
+    lead = batch // group
+    frames = cfg.seq_len + group - 1
     rng = np.random.RandomState(0)
     # distinct batches per step (the tunnel content-dedups repeats);
     # f16 seq / f32 flows = what the loader reads from disk artifacts
     host = [
-        (rng.rand(batch, cfg.seq_len, 6, 7, 7, 1000).astype(np.float16),
-         (rng.randn(batch, cfg.seq_len, cfg.flow_h, cfg.flow_h * 2, 2) * 3)
+        (rng.rand(lead, frames, 6, 7, 7, 1000).astype(np.float16),
+         (rng.randn(lead, frames, cfg.flow_h, cfg.flow_h * 2, 2) * 3)
          .astype(np.float32))
         for _ in range(n_steps + 1)
     ]
@@ -146,13 +166,16 @@ def _host_mode(cfg, opt, step, batch, n_steps):
         dt = time.time() - t0
         results[codec] = batch * n_steps / dt
     mb_exact = (host[0][0].nbytes + host[0][1].nbytes) / 1e6 / batch
-    print(json.dumps({
+    out = {
         "metric": "train_windows_per_s_hostfed",
         "exact": round(results["none"], 3),
         "int8": round(results["int8"], 3),
-        "unit": f"windows/s (host-fed, {mb_exact:.1f} MB/window exact)",
+        "unit": f"windows/s (host-fed, {mb_exact:.2f} MB/window exact)",
         "batch": batch, "steps": n_steps,
-    }))
+    }
+    if group > 1:
+        out["segment_windows"] = group
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
