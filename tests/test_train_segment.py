@@ -138,6 +138,42 @@ def test_segment_batch_equals_direct_windows(artifacts):
             i += 1
 
 
+def test_segment_step_shards_over_data_mesh():
+    """Segments compose with dp: [S, F, ...] runs shard along the data axis
+    and the sharded segment step matches the single-device direct step."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cp360_tpu.parallel.mesh import make_mesh
+
+    group, n_seg = 2, 8  # 8 segments shard over the 8 virtual devices
+    f = group + T - 1
+    rng = np.random.RandomState(2)
+    seq_seg = rng.rand(n_seg, f, 6, 7, 7, C).astype(np.float32)
+    flows_seg = (rng.randn(n_seg, f, 16, 32, 2) * 2).astype(np.float32)
+
+    base = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3,
+                  compute_dtype="float32", seq_len=T)
+    opt = optax.sgd(base.lr)  # linear in the gradient (see test_parallel)
+    params = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+
+    step_dir = make_train_step(base, opt)
+    p = jax.device_put(params)
+    p1, _, m1 = step_dir(p, opt.init(p), jnp.asarray(_expand_np(seq_seg, group)),
+                         jnp.asarray(_expand_np(flows_seg, group)))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    bs = NamedSharding(mesh, P("data"))
+    step_seg = make_train_step(base.replace(segment_windows=group), opt)
+    p_sh = jax.device_put(params, NamedSharding(mesh, P()))
+    p2, _, m2 = step_seg(p_sh, opt.init(p_sh),
+                         jax.device_put(jnp.asarray(seq_seg), bs),
+                         jax.device_put(jnp.asarray(flows_seg), bs))
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["gates"]["w"]),
+                               np.asarray(p2["gates"]["w"]), atol=1e-6)
+
+
 def test_prefetch_loader_over_segments(artifacts):
     base = WindowDataset(artifacts, None, ["vidA", "vidB"], seq_len=T)
     ds = SegmentWindowDataset(base, 3)
