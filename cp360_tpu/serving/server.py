@@ -24,16 +24,19 @@ latency at a time.  A raw (h, c) carry across frames would be cheaper but
 is NOT the protocol the published numbers use — the eval re-seeds state
 per window — so the window ring is the faithful serving mode.
 
-Concurrent requests are coalesced by a dynamic batcher (serving/batcher.py):
+Concurrent requests are coalesced by dynamic batchers (serving/batcher.py):
 host prep (decode, resize, cube remap, optional 4:2:0 pack) runs on the
-HTTP handler threads, then all device work funnels through one worker
-thread that groups up to ``serve_max_batch`` pending stage-1 requests
-(waiting at most ``serve_batch_window_ms`` after the first) into ONE fused
-device step, padded to a power-of-two bucket so the jit cache stays small.
-Single-threaded device access is also what this host's transfer relay
-requires (concurrent client-thread transfers intermittently wedge it).
-Frames are resized to the configured operating point on host, exactly like
-the offline pipeline.
+HTTP handler threads, then all device work funnels through worker threads
+that group up to ``serve_max_batch`` pending requests (waiting at most
+``serve_batch_window_ms`` after the first) into ONE fused device step,
+padded to a power-of-two bucket so the jit cache stays small.  Stage-1
+frames and temporal window inferences batch independently — concurrent
+temporal sessions share both the ResNet step and the ConvLSTM dispatch;
+pushes within one session serialize on a per-session lock (protocol
+order).  Device access is mutually exclusive (``_device_lock``) — what
+this host's transfer relay requires (concurrent client-thread transfers
+intermittently wedge it).  Frames are resized to the configured operating
+point on host, exactly like the offline pipeline.
 """
 
 from __future__ import annotations
@@ -81,6 +84,18 @@ class SaliencyModel:
             window_ms=cfg.serve_batch_window_ms,
             name="stage1",
         )
+        # temporal sessions coalesce too: concurrent sessions' window
+        # inferences share one padded ConvLSTM dispatch (the window protocol
+        # normalizes and seeds state per window, so batching cannot change
+        # any prediction)
+        self._temporal_batcher = None
+        if clstm_params is not None:
+            self._temporal_batcher = DynamicBatcher(
+                self._run_window_batch,
+                max_batch=max(1, cfg.serve_max_batch),
+                window_ms=cfg.serve_batch_window_ms,
+                name="temporal",
+            )
 
     def warmup(self) -> None:
         """Compile every stage-1 bucket size (and the temporal path) so the
@@ -102,6 +117,16 @@ class SaliencyModel:
             sid = self.temporal_start()
             for _ in range(self.cfg.seq_len):
                 self.temporal_push(sid, dummy)
+            # the pushes compiled the window batch at bucket 1; warm the
+            # larger buckets a concurrent-session burst would hit
+            window = tuple(self._sessions[sid]["frames"])
+            b = 2
+            while True:
+                bs = bucket_size(b, self._temporal_batcher.max_batch)
+                self._run_window_batch([window] * bs)
+                if bs >= self._temporal_batcher.max_batch:
+                    break
+                b *= 2
             self.temporal_close(sid)
 
     def _compute_dtype(self):
@@ -193,8 +218,36 @@ class SaliencyModel:
                 raise OverflowError(f"too many sessions (max {MAX_SESSIONS})")
             sid = uuid.uuid4().hex[:12]
             self._sessions[sid] = {"frames": [], "count": 0,
-                                   "last_used": time.monotonic()}
+                                   "last_used": time.monotonic(),
+                                   "lock": threading.Lock()}
         return sid
+
+    def _run_window_batch(self, windows: list):
+        """Temporal-batcher callback: N session windows -> ONE padded
+        ConvLSTM dispatch + one async D2H.
+
+        Each item is a session's rolling tuple of seq_len stage-1 cubes
+        (device arrays).  Pads to a power-of-two bucket like stage 1 so the
+        jit cache stays small; per-window normalization/state seeding make
+        the batched predictions identical to running each window alone.
+        """
+        from cp360_tpu.pipelines.temporal import window_infer
+        from cp360_tpu.serving.batcher import bucket_size
+        from cp360_tpu.utils.transfer import fetch_np
+
+        jnp = self._jnp
+        n = len(windows)
+        b = bucket_size(n, self._temporal_batcher.max_batch)
+        padded = list(windows) + [windows[-1]] * (b - n)
+        with self._device_lock:
+            batch = jnp.stack([jnp.stack(w) for w in padded])  # [b,T,6,h,w,C]
+            sal = window_infer(
+                self.clstm_params, batch, use_cube_pad=self.cfg.cube_pad,
+                compute_dtype=self._compute_dtype(),
+                conv_impl=self.cfg.clstm_conv_impl,
+            )
+            sal_np = fetch_np(sal)
+        return [sal_np[i] for i in range(n)]
 
     def temporal_push(self, sid: str, frame_u8: np.ndarray):
         """Push one frame into a session.
@@ -203,19 +256,20 @@ class SaliencyModel:
         than seq_len frames are buffered; afterwards the prediction of the
         window ending at this frame (identical to the offline pipeline's
         prediction for that window).
-        """
-        from cp360_tpu.pipelines.temporal import window_infer
 
-        jnp = self._jnp
+        Thread-safe and coalescing: pushes WITHIN a session serialize on the
+        session's own lock (protocol order), while different sessions
+        proceed concurrently so their stage-1 steps and window inferences
+        group in the two dynamic batchers.
+        """
         seq_len = self.cfg.seq_len
         with self._lock:
-            if sid not in self._sessions:
-                raise KeyError(sid)
             self._evict_idle()
-            if sid not in self._sessions:
-                raise KeyError(sid)  # the pushing session itself timed out
-            sess = self._sessions[sid]
+            sess = self._sessions.get(sid)
+            if sess is None:
+                raise KeyError(sid)
             sess["last_used"] = time.monotonic()
+        with sess["lock"]:
             scores, _ = self._stage1(frame_u8)
             sess["frames"].append(scores)
             sess["frames"] = sess["frames"][-seq_len:]
@@ -223,18 +277,11 @@ class SaliencyModel:
             sess["count"] += 1
             if len(sess["frames"]) < seq_len:
                 return idx, None
-            window = jnp.stack(sess["frames"])[None]  # [1, T, 6, h, w, C]
-            from cp360_tpu.utils.transfer import fetch_np
-
-            # hold the device lock so this dispatch+fetch can't interleave
-            # with the batcher worker's transfers (single-client-thread rule)
-            with self._device_lock:
-                sal = window_infer(
-                    self.clstm_params, window, use_cube_pad=self.cfg.cube_pad,
-                    compute_dtype=self._compute_dtype(),
-                    conv_impl=self.cfg.clstm_conv_impl,
-                )
-                return idx, fetch_np(sal)[0]
+            sal = self._temporal_batcher.submit(tuple(sess["frames"]))
+        with self._lock:
+            if sid in self._sessions:
+                sess["last_used"] = time.monotonic()
+        return idx, sal
 
     def temporal_close(self, sid: str) -> None:
         with self._lock:
@@ -270,6 +317,8 @@ def make_handler(model: SaliencyModel):
                         **model._batcher.stats,
                     },
                 }
+                if model._temporal_batcher is not None:
+                    info["temporal_batching"] = dict(model._temporal_batcher.stats)
                 self._send(200, json.dumps(info).encode())
             else:
                 self._send(404, b'{"error": "not found"}')

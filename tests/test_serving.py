@@ -278,6 +278,61 @@ def test_batched_predictions_match_serial():
     model._batcher.close()
 
 
+def test_concurrent_temporal_sessions_match_serial():
+    """Concurrent sessions coalesce their window inferences into one padded
+    ConvLSTM dispatch and still get exactly their own predictions."""
+    from cp360_tpu.models.clstm import init_clstm_params
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=3,
+                 compute_dtype="float32", serve_max_batch=4,
+                 serve_batch_window_ms=500.0)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    model = SaliencyModel(params, cfg, arch="resnet18", clstm_params=clstm)
+
+    rng = np.random.RandomState(11)
+    per_session = [
+        [(rng.rand(128, 256, 3) * 255).astype(np.uint8) for _ in range(4)]
+        for _ in range(3)
+    ]
+
+    def run_session(frames):
+        sid = model.temporal_start()
+        preds = {}
+        for i, f in enumerate(frames):
+            idx, sal = model.temporal_push(sid, f)
+            assert idx == i
+            if sal is not None:
+                preds[i] = sal
+        model.temporal_close(sid)
+        return preds
+
+    serial = [run_session(frames) for frames in per_session]
+
+    results = [None] * len(per_session)
+
+    def worker(i):
+        results[i] = run_session(per_session[i])
+
+    ths = [threading.Thread(target=worker, args=(i,)) for i in range(len(per_session))]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+
+    for want, got in zip(serial, results):
+        assert sorted(want) == sorted(got) == [2, 3]
+        for k in want:
+            # grouped requests run at different batch sizes than the serial
+            # singletons, so XLA's conv reassociation differs at f32 noise
+            # level (measured ~1e-5 on [0,1]-scale maps)
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=5e-5)
+    # the concurrent phase actually grouped window inferences
+    assert model._temporal_batcher.stats["max_group"] >= 2
+    model._batcher.close()
+    model._temporal_batcher.close()
+
+
 def test_healthz_reports_batching(server):
     conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
     conn.request("GET", "/healthz")
