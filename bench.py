@@ -63,9 +63,11 @@ def main():
     # just-compiled program fast the second time).
     schedule = [int(s) for s in
                 os.environ.get("BENCH_ATTEMPT_SCHEDULE", "300,140,120").split(",")]
+    backoff_s = float(os.environ.get("BENCH_RETRY_BACKOFF_S", "75"))
     for i in range(attempts):
         timeout = schedule[min(i, len(schedule) - 1)]
         env = dict(os.environ, BENCH_HARD_S=str(timeout - 20))
+        t_attempt = time.time()
         if (i == attempts - 1 and attempts >= 2
                 and "BENCH_ASYNC" not in os.environ
                 and "BENCH_DEPTH" not in os.environ):
@@ -104,6 +106,15 @@ def main():
             break
         print(f"bench: attempt {i} produced no result (rc={rc}); retrying",
               file=sys.stderr)
+        if i < attempts - 1 and time.time() - t_attempt < 60:
+            # a FAST failure is deterministic (backend init UNAVAILABLE
+            # during a tunnel outage, import error) rather than a wedge —
+            # retrying immediately just re-hits the same outage.  Outages
+            # observed this round recover on a minutes scale; wait before
+            # the next attempt instead of burning all attempts in 30 s.
+            print(f"bench: fast failure — backing off {backoff_s:.0f}s "
+                  "before retry (tunnel outage?)", file=sys.stderr)
+            time.sleep(backoff_s)
     print(json.dumps(last or {
         "metric": "stage1_frames_per_sec", "value": None,
         "unit": "frames/s (no attempt completed — transfer tunnel wedged)",
