@@ -73,7 +73,12 @@ class DynamicBatcher:
             raise RuntimeError("batcher is closed")
         slot = _Slot()
         self._q.put((item, slot))
-        slot.event.wait()
+        # poll the worker's liveness: a submit that enqueues between
+        # close()'s drain and the worker exiting would otherwise block
+        # forever (its slot is never served)
+        while not slot.event.wait(0.5):
+            if self._closed and not self._worker.is_alive():
+                raise RuntimeError("batcher is closed")
         if slot.exc is not None:
             raise slot.exc
         return slot.result

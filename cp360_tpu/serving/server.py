@@ -359,6 +359,8 @@ def make_handler(model: SaliencyModel):
                 self._send(404, json.dumps({"error": str(e)}).encode())
             except OverflowError as e:
                 self._send(429, json.dumps({"error": str(e)}).encode())
+            except Exception as e:  # device error mid-step, batcher closed
+                self._send(500, json.dumps({"error": str(e)}).encode())
 
         def do_POST(self):
             if self.path.startswith("/temporal/"):
@@ -373,7 +375,11 @@ def make_handler(model: SaliencyModel):
                 self._send(400, json.dumps({"error": f"bad image: {e}"}).encode())
                 return
 
-            sal = model.predict(frame)
+            try:
+                sal = model.predict(frame)
+            except Exception as e:  # device error mid-step, batcher closed
+                self._send(500, json.dumps({"error": str(e)}).encode())
+                return
             if "format=png" in self.path:
                 lo, hi = float(sal.min()), float(sal.max())
                 norm = (sal - lo) / (hi - lo) if hi > lo else sal * 0

@@ -250,6 +250,58 @@ def test_batcher_error_propagates_and_close_rejects():
         b.submit(2)
 
 
+def test_batcher_submit_racing_close_errors_not_hangs():
+    """A submit that enqueues between close()'s drain and worker exit must
+    raise, not block forever on a slot nothing will ever serve."""
+    from cp360_tpu.serving.batcher import DynamicBatcher
+
+    b = DynamicBatcher(lambda xs: list(xs), max_batch=2, window_ms=1.0)
+    release = threading.Event()
+    orig_put = b._q.put
+
+    def race_put(obj):
+        if isinstance(obj, tuple):  # the submit's (item, slot); close()'s
+            release.wait(10)        # sentinel passes straight through
+        return orig_put(obj)
+
+    b._q.put = race_put
+    errs = []
+
+    def sub():
+        try:
+            b.submit(1)
+        except RuntimeError as e:
+            errs.append(e)
+
+    t = threading.Thread(target=sub)
+    t.start()  # passes the _closed check, then its put stalls on `release`
+    b.close()
+    release.set()
+    t.join(10)
+    assert not t.is_alive()
+    assert errs and "closed" in str(errs[0])
+
+
+def test_server_500_on_internal_error():
+    """An unexpected failure inside predict() must answer 500 JSON, not
+    drop the connection."""
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64,
+                 compute_dtype="float32", serve_max_batch=1)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    model = SaliencyModel(params, cfg, arch="resnet18")
+    model._batcher.close()  # every submit now fails deterministically
+    httpd = serve(model, host="127.0.0.1", port=0, warmup=False)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        status, ctype, data = _post(port, "/saliency", _frame_bytes())
+        assert status == 500 and ctype == "application/json"
+        assert "closed" in json.loads(data)["error"]
+    finally:
+        httpd.shutdown()
+
+
 def test_batched_predictions_match_serial():
     """Concurrent predict() calls coalesce into one padded device step and
     return exactly what each request would get alone."""
