@@ -58,6 +58,9 @@ def _load_prediction(path: str) -> np.ndarray:
 
 
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", type=str, required=True, help="prediction root")
     parser.add_argument("--gt", type=str, required=True, help="GT root (<vid>.mp4/NNNNN.npy)")

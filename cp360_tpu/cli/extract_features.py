@@ -42,7 +42,31 @@ def load_params(weights: str | None, arch: str):
     return init_resnet_params(jax.random.PRNGKey(0), arch)
 
 
+def _strip_supervise_flag(argv: list) -> list:
+    """The child must not re-enter the supervisor."""
+    out, skip = [], False
+    for i, tok in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if tok == "--supervise":
+            nxt = argv[i + 1] if i + 1 < len(argv) else ""
+            try:
+                float(nxt)
+                skip = True  # consume the optional STALL_S value
+            except ValueError:
+                pass
+            continue
+        if tok.startswith("--supervise="):
+            continue
+        out.append(tok)
+    return out
+
+
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out", type=str, default="static", help="output dir name")
     parser.add_argument("--mode", type=str, default="resnet50", help="backbone arch")
@@ -53,6 +77,13 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--data-parallel", type=int, default=None,
                         help="shard frame batches over N devices")
+    parser.add_argument("--supervise", nargs="?", type=float, const=420.0,
+                        default=None, metavar="STALL_S",
+                        help="run under a restart-on-stall supervisor "
+                             "(utils/supervise.py): the transfer relay can "
+                             "wedge a fetch forever; extraction is resumable, "
+                             "so a child with no artifact/output progress for "
+                             "STALL_S seconds is killed and relaunched")
     add_config_overrides(parser)
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
@@ -60,6 +91,19 @@ def main(argv=None):
     warn_ignored_args(_unknown)
 
     cfg = config_from_args(args)
+    if args.supervise is not None:
+        import sys
+
+        from cp360_tpu.utils.supervise import supervise
+
+        child_argv = _strip_supervise_flag(
+            list(argv) if argv is not None else sys.argv[1:])
+        out_path = os.path.join(cfg.output_path, f"{args.out}_{args.mode}")
+        raise SystemExit(supervise(
+            [sys.executable, "-m", "cp360_tpu.cli.extract_features"] + child_argv,
+            watch_paths=[out_path],
+            stall_timeout_s=args.supervise,
+        ))
     if args.data_parallel:
         cfg = cfg.replace(mesh_data=args.data_parallel)
     from cp360_tpu.parallel.mesh import maybe_init_distributed, mesh_from_config

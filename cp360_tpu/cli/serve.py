@@ -18,6 +18,9 @@ from cp360_tpu.serving.server import SaliencyModel, serve
 
 
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--weights", type=str, default=None, help=".npz/.pth backbone")
     parser.add_argument("--clstm", type=str, default=None,

@@ -24,6 +24,9 @@ from cp360_tpu.config import add_config_overrides, config_from_args
 
 
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--video", type=str, required=True)
     parser.add_argument("--backbone", type=str, required=True, help=".npz/.pth backbone weights")

@@ -33,6 +33,9 @@ def load_clstm(path: str):
 
 
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--model", type=str, required=True, help="CLSTM .npz or .pth")
     parser.add_argument("--dir", type=str, required=True, help="stage-1 artifact root")

@@ -23,6 +23,9 @@ from cp360_tpu.train.loop import checkpoint_dir, latest_checkpoint, train
 
 
 def main(argv=None):
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--input", type=str, required=True, help="stage-1 artifact root")
     parser.add_argument("--motion", type=str, default=None, help="motion root (default: --input)")
