@@ -42,27 +42,6 @@ def load_params(weights: str | None, arch: str):
     return init_resnet_params(jax.random.PRNGKey(0), arch)
 
 
-def _strip_supervise_flag(argv: list) -> list:
-    """The child must not re-enter the supervisor."""
-    out, skip = [], False
-    for i, tok in enumerate(argv):
-        if skip:
-            skip = False
-            continue
-        if tok == "--supervise":
-            nxt = argv[i + 1] if i + 1 < len(argv) else ""
-            try:
-                float(nxt)
-                skip = True  # consume the optional STALL_S value
-            except ValueError:
-                pass
-            continue
-        if tok.startswith("--supervise="):
-            continue
-        out.append(tok)
-    return out
-
-
 def main(argv=None):
     from cp360_tpu.utils.platform import apply_platform_env
 
@@ -94,9 +73,9 @@ def main(argv=None):
     if args.supervise is not None:
         import sys
 
-        from cp360_tpu.utils.supervise import supervise
+        from cp360_tpu.utils.supervise import strip_supervise_flag, supervise
 
-        child_argv = _strip_supervise_flag(
+        child_argv = strip_supervise_flag(
             list(argv) if argv is not None else sys.argv[1:])
         out_path = os.path.join(cfg.output_path, f"{args.out}_{args.mode}")
         raise SystemExit(supervise(

@@ -36,12 +36,38 @@ def main(argv=None):
                         help="write structured train metrics to this JSONL file")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the run")
+    parser.add_argument("--supervise", nargs="?", type=float, const=420.0,
+                        default=None, metavar="STALL_S",
+                        help="run under a restart-on-stall supervisor "
+                             "(utils/supervise.py); restarts resume the full "
+                             "train state (--resume is implied for the child)")
     add_config_overrides(parser)
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
 
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
+    if args.supervise is not None:
+        import sys
+
+        from cp360_tpu.utils.supervise import strip_supervise_flag, supervise
+
+        child_argv = strip_supervise_flag(
+            list(argv) if argv is not None else sys.argv[1:])
+        if "--resume" not in child_argv:
+            child_argv.append("--resume")  # a restart must continue, not redo
+        watch = [checkpoint_dir(cfg)]
+        if args.metrics_jsonl:
+            watch.append(args.metrics_jsonl)
+        raise SystemExit(supervise(
+            [sys.executable, "-m", "cp360_tpu.cli.train_temporal"] + child_argv,
+            watch_paths=watch,
+            stall_timeout_s=args.supervise,
+            # SIGTERM triggers GracefulShutdown (full-state checkpoint) —
+            # give a healthy-but-slow step time to finish saving before
+            # the SIGKILL escalation
+            grace_s=60.0,
+        ))
     if args.profile_dir:
         cfg = cfg.replace(profile_dir=args.profile_dir)
 

@@ -38,6 +38,12 @@ def _newest_mtime(paths: Sequence[str]) -> float:
     for root in paths:
         if not os.path.exists(root):
             continue
+        if os.path.isfile(root):  # e.g. a metrics JSONL path
+            try:
+                newest = max(newest, os.stat(root).st_mtime)
+            except OSError:
+                pass
+            continue
         for dirpath, _dirnames, filenames in os.walk(root):
             for fn in filenames:
                 try:
@@ -128,6 +134,28 @@ def supervise(
                 f"{fast_fail_backoff_s:.0f}s")
             time.sleep(fast_fail_backoff_s)
         log(f"supervise: restart {restarts}/{max_restarts} after {reason}")
+
+
+def strip_supervise_flag(argv: List[str]) -> List[str]:
+    """Remove ``--supervise [STALL_S]`` / ``--supervise=STALL_S`` from an
+    argv — the relaunched child must not re-enter the supervisor."""
+    out, skip = [], False
+    for i, tok in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if tok == "--supervise":
+            nxt = argv[i + 1] if i + 1 < len(argv) else ""
+            try:
+                float(nxt)
+                skip = True  # consume the optional STALL_S value
+            except ValueError:
+                pass
+            continue
+        if tok.startswith("--supervise="):
+            continue
+        out.append(tok)
+    return out
 
 
 def _kill_group(proc: subprocess.Popen, grace_s: float) -> None:

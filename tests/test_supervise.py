@@ -84,14 +84,40 @@ def test_gives_up_after_max_restarts(tmp_path):
 
 
 def test_strip_supervise_flag():
-    from cp360_tpu.cli.extract_features import _strip_supervise_flag
+    from cp360_tpu.utils.supervise import strip_supervise_flag
 
-    assert _strip_supervise_flag(
+    assert strip_supervise_flag(
         ["--out", "s", "--supervise", "-of"]) == ["--out", "s", "-of"]
-    assert _strip_supervise_flag(
+    assert strip_supervise_flag(
         ["--supervise", "300", "-of"]) == ["-of"]
-    assert _strip_supervise_flag(
+    assert strip_supervise_flag(
         ["--supervise=300", "-of", "--out", "s"]) == ["-of", "--out", "s"]
+
+
+def test_train_cli_supervise_implies_resume(tmp_path, monkeypatch):
+    """The train CLI's supervised child must be relaunched with --resume so
+    a restart continues from the SIGTERM checkpoint instead of redoing."""
+    import cp360_tpu.utils.supervise as sup_mod
+
+    captured = {}
+
+    def fake_supervise(cmd, watch_paths, stall_timeout_s, **kw):
+        captured.update(cmd=cmd, watch=watch_paths, grace=kw.get("grace_s"))
+        return 0
+
+    monkeypatch.setattr(sup_mod, "supervise", fake_supervise)
+    from cp360_tpu.cli.train_temporal import main
+
+    argv = ["--input", str(tmp_path / "static"), "--supervise",
+            "--metrics-jsonl", str(tmp_path / "m.jsonl"),
+            "--set", f"output_path={tmp_path}"]
+    with pytest.raises(SystemExit) as ei:
+        main(argv)
+    assert ei.value.code == 0
+    assert "--resume" in captured["cmd"]
+    assert "--supervise" not in captured["cmd"]
+    assert captured["grace"] == 60.0
+    assert str(tmp_path / "m.jsonl") in captured["watch"]
 
 
 def test_cli_supervise_wiring(tmp_path, monkeypatch):
