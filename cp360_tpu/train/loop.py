@@ -145,19 +145,46 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     return step
 
 
+def _host_state(tree):
+    """Fetch a (possibly process-spanning) state tree to host numpy.
+
+    Single-process: plain device_get.  Multi-process: a genuinely sharded
+    global leaf is allgathered (a COLLECTIVE — every process must call
+    this, and all traverse the tree in the same order); fully-replicated
+    or process-local leaves are read directly — process_allgather would
+    wrongly CONCATENATE identical per-process values for those.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated):
+            return multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    return jax.tree.map(leaf, tree)
+
+
 def save_train_state(path: str, params, opt_state, step: int, epoch: int) -> None:
     """Full training-state checkpoint (params + Adam moments + counters).
 
     The reference only ever saves model weights (train_temporal.py:182-185),
     so resuming restarts the optimizer; here resume is exact.  Stored as a
     flat .npz tree (same portable format as the weight checkpoints).
+
+    Multi-process: every process participates in the state gather, process
+    0 alone writes the file (concurrent same-path writes tear the npz).
     """
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     flat = {"step": np.asarray(step), "epoch": np.asarray(epoch)}
     for key, tree in (("params", params), ("opt_state", opt_state)):
-        leaves, _ = jax.tree.flatten(jax.device_get(tree))
+        leaves, _ = jax.tree.flatten(_host_state(tree))
         for i, leaf in enumerate(leaves):
             flat[f"{key}/{i}"] = np.asarray(leaf)
+    if jax.process_index() != 0:
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **flat)
 
 
@@ -201,8 +228,12 @@ def checkpoint_name(epoch: int, it: int) -> str:
 
 
 def save_checkpoint(path: str, params) -> None:
+    # multi-process: collective gather, process-0 write (see save_train_state)
+    params = _host_state(params)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    save_npz(path, jax.device_get(params))
+    save_npz(path, params)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
@@ -225,6 +256,8 @@ def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     (epoch_*.npz) and the full train state are never pruned.
     """
     if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    if jax.process_index() != 0:  # only the writer prunes
         return
 
     def age_key(name):
@@ -316,12 +349,18 @@ def train(
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
 
     def place(p):
-        """dp: replicate params; tp: shard conv output channels on `model`."""
+        """dp: replicate params; tp: shard conv output channels on `model`.
+
+        device_put_global (not plain device_put) so a process-spanning mesh
+        works: each process materializes only its addressable shards from
+        the identical host values.
+        """
         if mesh is None:
             return p
-        from cp360_tpu.parallel.mesh import clstm_param_sharding
+        from cp360_tpu.parallel.mesh import clstm_param_sharding, device_put_global
 
-        return jax.device_put(jax.device_get(p), clstm_param_sharding(mesh, p))
+        p_host = _host_state(p)
+        return device_put_global(p_host, clstm_param_sharding(mesh, p_host))
 
     params = place(params)
     optimizer = make_optimizer(cfg)
@@ -343,8 +382,10 @@ def train(
         params, opt_state, it, start_epoch = restored
         params = place(params)
         if mesh is not None:  # restore each leaf onto its template's sharding
+            from cp360_tpu.parallel.mesh import device_put_global
+
             opt_state = jax.tree.map(
-                lambda t, v: jax.device_put(np.asarray(v), t.sharding)
+                lambda t, v: device_put_global(np.asarray(v), t.sharding)
                 if hasattr(t, "sharding") else v,
                 opt_template, opt_state,
             )
@@ -352,6 +393,8 @@ def train(
             f"resumed full train state from {ck.name if resume_state == 'latest' else resume_state}"
             f" (iter {it}, epoch {start_epoch})"
         )
+    if metrics_jsonl and jax.process_index() != 0:
+        metrics_jsonl = None  # one writer; every process still echoes
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
     from contextlib import ExitStack
 

@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -65,3 +67,88 @@ def test_two_process_dp_tp_train_step():
     losses = {line.split("loss=")[1] for out in outs for line in out.splitlines()
               if line.startswith("DIST_OK")}
     assert len(losses) == 1, losses
+
+
+def test_two_process_train_cli_end_to_end(tmp_path):
+    """The PRODUCT training CLI across 2 OS processes: distributed init via
+    env, the real loader feeding the identical global batch on both hosts
+    (seeded shuffle), the dp train step over the process-spanning mesh, and
+    process-0-gated checkpoint/metrics writes (collective state gather).
+    """
+    C, n_frames = 8, 12
+    from cp360_tpu.data.dataset import builtin_split
+
+    # artifact dirs must carry real train-split ids for the CLI to pick up
+    arts = tmp_path / "static"
+    rng = np.random.RandomState(0)
+    for vid in builtin_split("train_60")[:2]:
+        fd = arts / vid / "cube_feat"
+        md = arts / vid / "motion"
+        fd.mkdir(parents=True)
+        md.mkdir(parents=True)
+        for t in range(2, n_frames + 1):
+            np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+            np.save(md / f"{t:06}.npy", rng.randn(16, 32, 2).astype(np.float32))
+
+    port = _free_port()
+    sets = [
+        f"checkpoint_path={tmp_path / 'ck'}",
+        "input_size=8", "hidden_size=8", "flow_h=16",
+        "batch_size=8", "epochs=1", "save_freq=1", "summary_freq=1",
+        "mesh_data=8", "compute_dtype=float32", "processes=2",
+    ]
+    argv = [sys.executable, "-m", "cp360_tpu.cli.train_temporal",
+            "--input", str(arts),
+            "--metrics-jsonl", str(tmp_path / "metrics.jsonl")]
+    for s in sets:
+        argv += ["--set", s]
+
+    def spawn(pid: int) -> subprocess.Popen:
+        env = dict(
+            os.environ,
+            CP360_PLATFORM="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            CP360_DIST="1",
+            CP360_COORDINATOR=f"127.0.0.1:{port}",
+            CP360_NUM_PROCESSES="2",
+            CP360_PROCESS_ID=str(pid),
+        )
+        return subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=360)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    # both processes logged the identical global loss each summary
+    def loss_lines(out):
+        return [ln.split("loss_avg=")[1].split()[0]
+                for ln in out.splitlines() if "loss_avg=" in ln]
+
+    l0, l1 = loss_lines(outs[0]), loss_lines(outs[1])
+    assert l0 and l0 == l1, (l0, l1)
+
+    # process-0-gated writes: the full train state exists, loads, and the
+    # metrics JSONL has no interleaved/torn records
+    import glob
+    import json
+
+    state = glob.glob(str(tmp_path / "ck" / "**" / "train_state_latest.npz"),
+                      recursive=True)
+    assert len(state) == 1, state
+    with np.load(state[0]) as f:
+        assert int(f["step"]) >= 1
+    with open(tmp_path / "metrics.jsonl") as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    assert any(r["event"] == "train" for r in recs)
