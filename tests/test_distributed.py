@@ -69,11 +69,17 @@ def test_two_process_dp_tp_train_step():
     assert len(losses) == 1, losses
 
 
-def test_two_process_train_cli_end_to_end(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_two_process_train_cli_end_to_end(tmp_path, backend):
     """The PRODUCT training CLI across 2 OS processes: distributed init via
     env, the real loader feeding the identical global batch on both hosts
     (seeded shuffle), the dp train step over the process-spanning mesh, and
     process-0-gated checkpoint/metrics writes (collective state gather).
+    The orbax variant exercises its own multi-process coordination (all
+    processes call save; orbax coordinates the write).
     """
     C, n_frames = 8, 12
     from cp360_tpu.data.dataset import builtin_split
@@ -96,6 +102,7 @@ def test_two_process_train_cli_end_to_end(tmp_path):
         "input_size=8", "hidden_size=8", "flow_h=16",
         "batch_size=8", "epochs=1", "save_freq=1", "summary_freq=1",
         "mesh_data=8", "compute_dtype=float32", "processes=2",
+        f"checkpoint_backend={backend}",
     ]
     argv = [sys.executable, "-m", "cp360_tpu.cli.train_temporal",
             "--input", str(arts),
@@ -144,11 +151,16 @@ def test_two_process_train_cli_end_to_end(tmp_path):
     import glob
     import json
 
-    state = glob.glob(str(tmp_path / "ck" / "**" / "train_state_latest.npz"),
-                      recursive=True)
-    assert len(state) == 1, state
-    with np.load(state[0]) as f:
-        assert int(f["step"]) >= 1
+    if backend == "npz":
+        state = glob.glob(str(tmp_path / "ck" / "**" / "train_state_latest.npz"),
+                          recursive=True)
+        assert len(state) == 1, state
+        with np.load(state[0]) as f:
+            assert int(f["step"]) >= 1
+    else:  # orbax writes a step directory tree, coordinated by itself
+        steps = glob.glob(str(tmp_path / "ck" / "**" / "orbax" / "*"),
+                          recursive=True)
+        assert steps, "no orbax checkpoint written"
     with open(tmp_path / "metrics.jsonl") as f:
         recs = [json.loads(ln) for ln in f if ln.strip()]
     assert any(r["event"] == "train" for r in recs)
