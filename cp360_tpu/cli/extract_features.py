@@ -104,6 +104,18 @@ def main(argv=None):
     if cfg.train_mode:
         jobs += [("train", v) for v in builtin_split("train_60")]
 
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        # stage 1 is embarrassingly parallel over videos: each host takes a
+        # stripe and computes on its OWN devices (see mesh.stripe_jobs)
+        from cp360_tpu.parallel.mesh import local_data_mesh, stripe_jobs
+
+        jobs = stripe_jobs(jobs)
+        mesh = local_data_mesh(mesh)
+        print(f"multi-host extraction: process {_jax.process_index()}/"
+              f"{_jax.process_count()} takes {len(jobs)} video(s)")
+
     for split, vid in jobs:
         vid_file = os.path.join(cfg.data_vid_path, split, vid + ".mp4")
         if not os.path.exists(vid_file):

@@ -60,16 +60,34 @@ def main(argv=None):
     from cp360_tpu.parallel.mesh import clstm_param_sharding, maybe_init_distributed, mesh_from_config
 
     maybe_init_distributed()
-    mesh = mesh_from_config(cfg)
-    if mesh is not None and cfg.mesh_model > 1:
-        import jax
+    import jax
 
+    mesh = mesh_from_config(cfg)
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # videos are independent: stripe them across hosts, compute on each
+        # host's own devices (mesh.stripe_jobs); the per-video metrics
+        # merge through the shared-FS partials + barrier below
+        from cp360_tpu.parallel.mesh import local_data_mesh
+
+        mesh = local_data_mesh(mesh)
+        if cfg.mesh_model > 1:
+            print("NOTE: multi-host striping uses per-host data "
+                  "parallelism; mesh_model is ignored")
+    if mesh is not None and cfg.mesh_model > 1 and not multiproc:
         params = jax.device_put(params, clstm_param_sharding(mesh, params))
 
     vids = [v for v in builtin_split("test_25")
             if os.path.isdir(os.path.join(args.dir, v, "cube_feat"))]
     outdir = os.path.join(cfg.output_path, "temporal")
     os.makedirs(outdir, exist_ok=True)
+
+    if multiproc:
+        from cp360_tpu.parallel.mesh import stripe_jobs
+
+        vids = stripe_jobs(vids)
+        print(f"multi-host inference: process {jax.process_index()}/"
+              f"{jax.process_count()} takes {len(vids)} video(s)")
 
     per_video, frame_counts = {}, {}
     for i, vid in enumerate(vids):
@@ -113,6 +131,29 @@ def main(argv=None):
             frame_counts[vid] = len(video_windows(feat_dir))
             for key in ("AUCB", "AUC", "CC"):
                 print(f"[{vid}]\t{key}:{np.mean(res[key])}")
+
+    if multiproc:
+        # merge per-video metrics across hosts: each process writes its
+        # partial to the shared output dir, a global barrier orders the
+        # writes, then process 0 aggregates exactly as single-host would
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        part = os.path.join(outdir, f"_partial_{jax.process_index():03}.pkl")
+        with open(part, "wb") as f:
+            pickle.dump((per_video, frame_counts), f)
+        multihost_utils.sync_global_devices("cp360 temporal partials")
+        if jax.process_index() != 0:
+            return
+        per_video, frame_counts = {}, {}
+        for p in range(jax.process_count()):
+            pp = os.path.join(outdir, f"_partial_{p:03}.pkl")
+            with open(pp, "rb") as f:
+                pv, fc = pickle.load(f)
+            per_video.update(pv)
+            frame_counts.update(fc)
+            os.remove(pp)
 
     if per_video:
         agg = aggregate(per_video, frame_counts)

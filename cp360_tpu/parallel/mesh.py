@@ -102,6 +102,36 @@ def mesh_from_config(cfg) -> Optional[Mesh]:
     return make_mesh(n_data=cfg.mesh_data, n_model=cfg.mesh_model)
 
 
+def stripe_jobs(jobs):
+    """Round-robin a list of independent jobs (videos) across processes.
+
+    Single-process: the list unchanged.  Multi-process: each host takes
+    every ``process_count``-th job starting at its own index — the
+    embarrassingly-parallel scale-out for per-video pipelines, where a
+    process-spanning mesh would be the wrong shape (every host decoding
+    every frame and fetching shards it cannot address).
+    """
+    if jax.process_count() <= 1:
+        return list(jobs)
+    return list(jobs)[jax.process_index()::jax.process_count()]
+
+
+def local_data_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Shrink a (possibly process-spanning) mesh to THIS host's devices,
+    data-axis only — the mesh striped per-video jobs compute on.
+
+    Returns None when a single local device is left (callers keep the
+    unsharded fast path).  Single-process input meshes pass through.
+    """
+    if mesh is None or jax.process_count() <= 1:
+        return mesh
+    local = jax.local_devices()
+    n_data = min(mesh.shape.get(DATA_AXIS, 1), len(local))
+    if n_data <= 1:
+        return None
+    return make_mesh(n_data=n_data, n_model=1, devices=local)
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding for inputs: [B, ...] split along the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

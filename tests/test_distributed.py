@@ -72,6 +72,106 @@ def test_two_process_dp_tp_train_step():
 import pytest
 
 
+def test_two_process_temporal_cli_stripes_and_merges(tmp_path):
+    """Stage-2 inference CLI across 2 OS processes: videos striped per host
+    (mesh.stripe_jobs), per-host local meshes, and the per-video metrics
+    merged through shared-FS partials into the same aggregate a single
+    process computes."""
+    C, n_frames, seq_len = 8, 12, 5
+    from cp360_tpu.data.dataset import builtin_split
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.compat.torch_weights import save_npz
+    import jax as _jax
+
+    vids = builtin_split("test_25")[:2]
+    arts = tmp_path / "static"
+    labels = tmp_path / "labels"
+    rng = np.random.RandomState(0)
+    for vid in vids:
+        fd = arts / vid / "cube_feat"
+        fd.mkdir(parents=True)
+        gd = labels / f"{vid}.mp4"
+        gd.mkdir(parents=True)
+        for t in range(2, n_frames + 1):
+            np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+            # peaked GT: fixation extraction is GT > mean+2sigma, which a
+            # uniform map never exceeds (no fixations -> nan AUC)
+            gt = rng.rand(120, 240).astype(np.float32) * 0.1
+            hot = rng.randint(0, gt.size, size=40)
+            gt.ravel()[hot] += 1.0
+            np.save(gd / f"{t:05}.npy", gt)
+    save_npz(str(tmp_path / "clstm.npz"),
+             _jax.device_get(init_clstm_params(_jax.random.PRNGKey(0), C, C)))
+
+    import cp360_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cp360_tpu.__file__)))
+
+    def run(n_proc: int, cwd):
+        os.makedirs(cwd, exist_ok=True)
+        port = _free_port()
+        argv = [sys.executable, "-m", "cp360_tpu.cli.test_temporal",
+                "--config", os.path.join(repo, "config.yaml"),
+                "--model", str(tmp_path / "clstm.npz"),
+                "--dir", str(arts), "--batch-windows", "8",
+                "--set", f"output_path={cwd}",
+                "--set", f"label_path={labels}",
+                "--set", "input_size=8", "--set", "hidden_size=8",
+                "--set", "mesh_data=8", "--set", "compute_dtype=float32"]
+        procs = []
+        for pid in range(n_proc):
+            env = dict(
+                os.environ,
+                CP360_PLATFORM="cpu",
+                # children run from the scratch dir (the CLI writes its
+                # result file to CWD) — the package must still import
+                PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+                XLA_FLAGS="--xla_force_host_platform_device_count="
+                          f"{8 // n_proc}",
+            )
+            if n_proc > 1:
+                env.update(CP360_DIST="1",
+                           CP360_COORDINATOR=f"127.0.0.1:{port}",
+                           CP360_NUM_PROCESSES=str(n_proc),
+                           CP360_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                argv, env=env, cwd=cwd, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=360)
+                outs.append(out)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        for pid, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"proc {pid} (n={n_proc}) failed:\n{out}"
+        result = os.path.join(cwd, "static_result.txt")
+        assert os.path.exists(result), outs[0]
+        with open(result) as f:
+            cc, auc, aucb = map(float, f.read().split(":")[1].split(","))
+        return cc, auc, aucb, outs
+
+    cc1, auc1, aucb1, _ = run(1, str(tmp_path / "single"))
+    cc2, auc2, aucb2, outs = run(2, str(tmp_path / "multi"))
+
+    # each host took one video; every prediction dir exists exactly once
+    assert sum("takes 1 video(s)" in o for o in outs) == 2
+    for vid in vids:
+        assert (tmp_path / "multi" / "temporal" / vid).is_dir()
+    # only process 0 aggregates
+    assert sum("==========" in o for o in outs) == 1
+
+    # merged aggregate == single-process aggregate (CC/AUC deterministic;
+    # AUC-Borji resamples fixations per run — tolerance covers its spread)
+    assert abs(cc2 - cc1) < 1e-5, (cc1, cc2)
+    assert abs(auc2 - auc1) < 1e-3, (auc1, auc2)
+    assert abs(aucb2 - aucb1) < 0.05, (aucb1, aucb2)
+
+
 @pytest.mark.parametrize("backend", ["npz", "orbax"])
 def test_two_process_train_cli_end_to_end(tmp_path, backend):
     """The PRODUCT training CLI across 2 OS processes: distributed init via

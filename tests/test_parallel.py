@@ -151,3 +151,15 @@ def test_maybe_init_distributed_explicit_rendezvous():
     out = subprocess.run([sys.executable, "-c", code], env=env, cwd="/root/repo",
                          capture_output=True, text=True, timeout=180)
     assert "RENDEZVOUS_OK" in out.stdout, out.stderr
+
+
+def test_stripe_jobs_and_local_mesh_single_process():
+    """Single-process: striping is the identity and the mesh passes through
+    (the 2-process semantics are covered end-to-end in test_distributed)."""
+    from cp360_tpu.parallel.mesh import local_data_mesh, make_mesh, stripe_jobs
+
+    jobs = [("test", f"v{i}") for i in range(5)]
+    assert stripe_jobs(jobs) == jobs
+    assert local_data_mesh(None) is None
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert local_data_mesh(mesh) is mesh
