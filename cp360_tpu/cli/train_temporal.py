@@ -107,6 +107,21 @@ def main(argv=None):
     maybe_init_distributed()
     mesh = mesh_from_config(cfg)
 
+    per_host = False
+    if mesh is not None:
+        import jax as _jax
+
+        if _jax.process_count() > 1:
+            # multi-host IO scale-out: each host reads only its own span of
+            # every (identically-shuffled) global batch from disk
+            from cp360_tpu.parallel.mesh import local_rows_slice
+
+            loader.rows = local_rows_slice(mesh, batch_size)
+            per_host = True
+            print(f"per-host feeding: process {_jax.process_index()} loads "
+                  f"batch rows [{loader.rows.start}:{loader.rows.stop}) "
+                  f"of {batch_size}")
+
     params = None
     resume_state = None
     if args.resume:
@@ -125,7 +140,8 @@ def main(argv=None):
         params = init_clstm_params(jax.random.PRNGKey(0), cfg.input_size, cfg.hidden_size)
 
     train(cfg, loader, params=params, mesh=mesh,
-          metrics_jsonl=args.metrics_jsonl, resume_state=resume_state)
+          metrics_jsonl=args.metrics_jsonl, resume_state=resume_state,
+          per_host_batches=per_host)
 
 
 if __name__ == "__main__":

@@ -256,6 +256,7 @@ class PrefetchLoader:
         prefetch: int = 2,
         drop_last: bool = True,
         transfer_codec: str = "none",
+        rows: "slice | None" = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -270,6 +271,13 @@ class PrefetchLoader:
         # windows cross the link at 1/4 resp. 1/2 the bytes.  Quantization
         # runs on this loader's worker thread, overlapping device compute.
         self.transfer_codec = transfer_codec
+        # multi-host IO scale-out: load only THIS host's span of every
+        # global batch (parallel/mesh.local_rows_slice) — the global index
+        # order stays identical on every host (seeded shuffle), so the
+        # sliced batches jointly assemble the exact global batch through
+        # shard_batch_per_host.  Quantization scales are per-sample, so
+        # per-host quantization is bit-identical to global.
+        self.rows = rows
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -287,6 +295,12 @@ class PrefetchLoader:
             order[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(nb)
         ]
+        if self.rows is not None:
+            if not self.drop_last:
+                raise ValueError(
+                    "per-host row slicing (rows=...) requires drop_last=True "
+                    "— a short final batch would break the span contract")
+            batches = [b[self.rows] for b in batches]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

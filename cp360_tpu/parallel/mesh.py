@@ -182,27 +182,37 @@ def shard_batch(mesh: Mesh, tree):
                 f"mesh_data"
             )
     if jax.process_count() > 1:
-        sh = data_sharding(mesh)
-
         def local_rows(leaf):
             leaf = np.asarray(leaf)
-            idx_map = sh.addressable_devices_indices_map(leaf.shape)
-            spans = sorted(
-                {(sl[0].start or 0,
-                  leaf.shape[0] if sl[0].stop is None else sl[0].stop)
-                 for sl in idx_map.values()}
-            )
-            lo, hi = spans[0][0], spans[-1][1]
-            covered = all(a <= b_ for (_, b_), (a, _) in zip(spans, spans[1:]))
-            if not covered:
-                raise ValueError(
-                    f"this host's batch rows are not contiguous ({spans}); "
-                    f"feed per-host via shard_batch_per_host"
-                )
-            return leaf[lo:hi]
+            return leaf[local_rows_slice(mesh, leaf.shape[0])]
 
         return shard_batch_per_host(mesh, jax.tree.map(local_rows, tree))
     return jax.device_put(tree, data_sharding(mesh))
+
+
+def local_rows_slice(mesh: Mesh, n_rows: int) -> slice:
+    """The contiguous [lo, hi) span of a global batch of ``n_rows`` that
+    lands on THIS process's devices (derived from the sharding's
+    addressable indices — correct for any mesh layout, including a
+    replicated batch axis).
+
+    This is what lets a loader read only its own rows from disk
+    (``PrefetchLoader(rows=...)``) and feed :func:`shard_batch_per_host`.
+    """
+    sh = data_sharding(mesh)
+    idx_map = sh.addressable_devices_indices_map((n_rows,))
+    spans = sorted(
+        {(sl[0].start or 0, n_rows if sl[0].stop is None else sl[0].stop)
+         for sl in idx_map.values()}
+    )
+    lo, hi = spans[0][0], spans[-1][1]
+    covered = all(a <= b_ for (_, b_), (a, _) in zip(spans, spans[1:]))
+    if not covered:
+        raise ValueError(
+            f"this host's batch rows are not contiguous ({spans}); "
+            f"feed per-host via shard_batch_per_host"
+        )
+    return slice(lo, hi)
 
 
 def shard_batch_per_host(mesh: Mesh, tree):

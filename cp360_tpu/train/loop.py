@@ -329,6 +329,7 @@ def train(
     log_fn=print,
     metrics_jsonl: Optional[str] = None,
     resume_state: Optional[str] = None,
+    per_host_batches: bool = False,
 ) -> dict:
     """Epoch loop (reference train_temporal.py:33-193 / main():258-261).
 
@@ -416,8 +417,13 @@ def train(
                 if mesh is not None:
                     from cp360_tpu.parallel import mesh as pmesh
 
-                    seq = pmesh.shard_batch(mesh, seq)
-                    flows = pmesh.shard_batch(mesh, flows)
+                    # per_host_batches: the loader already sliced this
+                    # host's rows (PrefetchLoader rows=local_rows_slice),
+                    # so each host only read 1/N of the batch from disk
+                    put = (pmesh.shard_batch_per_host if per_host_batches
+                           else pmesh.shard_batch)
+                    seq = put(mesh, seq)
+                    flows = put(mesh, flows)
                 params, opt_state, metrics = step_fn(params, opt_state, seq, flows)
                 running = running + metrics["loss"]
                 n_since += 1

@@ -246,6 +246,29 @@ def test_two_process_train_cli_end_to_end(tmp_path, backend):
     l0, l1 = loss_lines(outs[0]), loss_lines(outs[1])
     assert l0 and l0 == l1, (l0, l1)
 
+    # per-host IO feeding engaged: disjoint spans covering the global batch
+    spans = sorted(ln.split("rows ")[1].split(" of")[0]
+                   for out in outs for ln in out.splitlines()
+                   if "per-host feeding" in ln)
+    assert spans == ["[0:4)", "[4:8)"], (spans, outs[0][-500:])
+
+    if backend == "npz":
+        # and the 2-process losses equal a SINGLE-process run of the same
+        # CLI (same seed/shuffle -> same global batches) — catches slicing
+        # bugs that would corrupt both hosts identically
+        env1 = dict(os.environ, CP360_PLATFORM="cpu",
+                    XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        argv1 = [a if a != f"checkpoint_path={tmp_path / 'ck'}"
+                 else f"checkpoint_path={tmp_path / 'ck1'}" for a in argv]
+        p1 = subprocess.run(argv1, env=env1, capture_output=True, text=True,
+                            timeout=360)
+        assert p1.returncode == 0, p1.stdout + p1.stderr
+        ref = loss_lines(p1.stdout)
+        assert ref, p1.stdout
+        for a, b in zip(ref, l0):
+            assert abs(float(a) - float(b)) <= 1e-4 * max(1.0, abs(float(a))), \
+                (ref, l0)
+
     # process-0-gated writes: the full train state exists, loads, and the
     # metrics JSONL has no interleaved/torn records
     import glob
