@@ -46,7 +46,9 @@ def main(argv=None):
     from cp360_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
-    parser = argparse.ArgumentParser(description=__doc__)
+    # allow_abbrev=False: an abbreviated --supervise would survive
+    # strip_supervise_flag and nest supervisors recursively in the child
+    parser = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
     parser.add_argument("--out", type=str, default="static", help="output dir name")
     parser.add_argument("--mode", type=str, default="resnet50", help="backbone arch")
     parser.add_argument("-oi", "--output_img", action="store_true")
@@ -74,6 +76,15 @@ def main(argv=None):
         import sys
 
         from cp360_tpu.utils.supervise import strip_supervise_flag, supervise
+
+        if (os.environ.get("CP360_DIST") == "1"
+                and int(os.environ.get("CP360_NUM_PROCESSES", "1") or 1) > 1):
+            raise SystemExit(
+                "--supervise cannot wrap ONE worker of a multi-process job: "
+                "a relaunched worker cannot rejoin the running "
+                "jax.distributed incarnation and every peer would hang in "
+                "its next collective. Supervise the whole launch instead "
+                "(wrap `python -m cp360_tpu.cli.launch ...`).")
 
         child_argv = strip_supervise_flag(
             list(argv) if argv is not None else sys.argv[1:])

@@ -130,7 +130,12 @@ def main(argv=None) -> int:
             try:
                 p.wait(timeout=30)
             except subprocess.TimeoutExpired:
-                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                try:
+                    # the child can die (and be reaped by its reaper
+                    # thread) between the timeout and this kill
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
                 p.wait()
         return 1
     for t in reapers:

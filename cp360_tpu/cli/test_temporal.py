@@ -90,6 +90,64 @@ def main(argv=None):
               f"{jax.process_count()} takes {len(vids)} video(s)")
 
     per_video, frame_counts = {}, {}
+    error: "BaseException | None" = None
+    try:
+        _infer_all(args, cfg, params, mesh, vids, outdir,
+                   per_video, frame_counts)
+    except BaseException as e:  # noqa: BLE001 — peers must not hang on the
+        error = e               # barrier below because this stripe failed
+
+    if multiproc:
+        # merge per-video metrics across hosts: each process writes its
+        # partial to the shared output dir (even a failed stripe writes
+        # one, flagged, so the barrier is ALWAYS reached and no peer hangs
+        # waiting for a crashed host — a hard kill is handled one level up
+        # by cli.launch tearing the job down), a global barrier orders the
+        # writes, then process 0 aggregates exactly as single-host would
+        import pickle
+
+        from jax.experimental import multihost_utils
+
+        part = os.path.join(outdir, f"_partial_{jax.process_index():03}.pkl")
+        with open(part, "wb") as f:
+            pickle.dump((per_video, frame_counts, error is not None), f)
+        multihost_utils.sync_global_devices("cp360 temporal partials")
+        if jax.process_index() != 0:
+            if error is not None:
+                raise error
+            return
+        per_video, frame_counts = {}, {}
+        failed = [jax.process_index()] if error is not None else []
+        for p in range(jax.process_count()):
+            pp = os.path.join(outdir, f"_partial_{p:03}.pkl")
+            with open(pp, "rb") as f:
+                pv, fc, bad = pickle.load(f)
+            if bad and p not in failed:
+                failed.append(p)
+            per_video.update(pv)
+            frame_counts.update(fc)
+            os.remove(pp)
+        if failed:
+            raise RuntimeError(
+                f"stripe(s) on process(es) {sorted(failed)} failed — "
+                "aggregate would be incomplete"
+            ) from error
+    elif error is not None:
+        raise error
+
+    if per_video:
+        agg = aggregate(per_video, frame_counts)
+        print(
+            "========== AUC: {AUC}\tCC: {CC}\tAUCB: {AUCB}\tSIM: {SIM}".format(**agg)
+        )
+        # Reference-compatible result file (test_temporal.py:186-187).
+        with open(f"{args.dir.split('/')[-1]}_result.txt", "w") as f:
+            print(f"total result:{agg['CC']}, {agg['AUC']}, {agg['AUCB']}", file=f)
+
+
+def _infer_all(args, cfg, params, mesh, vids, outdir, per_video, frame_counts):
+    """Per-video inference/eval over this process's stripe (mutates the
+    two dicts in place so a mid-stripe failure keeps what completed)."""
     for i, vid in enumerate(vids):
         print(f"Extracting video {vid}[{i + 1}/{len(vids)}]")
         feat_dir = os.path.join(args.dir, vid, "cube_feat")
@@ -131,38 +189,6 @@ def main(argv=None):
             frame_counts[vid] = len(video_windows(feat_dir))
             for key in ("AUCB", "AUC", "CC"):
                 print(f"[{vid}]\t{key}:{np.mean(res[key])}")
-
-    if multiproc:
-        # merge per-video metrics across hosts: each process writes its
-        # partial to the shared output dir, a global barrier orders the
-        # writes, then process 0 aggregates exactly as single-host would
-        import pickle
-
-        from jax.experimental import multihost_utils
-
-        part = os.path.join(outdir, f"_partial_{jax.process_index():03}.pkl")
-        with open(part, "wb") as f:
-            pickle.dump((per_video, frame_counts), f)
-        multihost_utils.sync_global_devices("cp360 temporal partials")
-        if jax.process_index() != 0:
-            return
-        per_video, frame_counts = {}, {}
-        for p in range(jax.process_count()):
-            pp = os.path.join(outdir, f"_partial_{p:03}.pkl")
-            with open(pp, "rb") as f:
-                pv, fc = pickle.load(f)
-            per_video.update(pv)
-            frame_counts.update(fc)
-            os.remove(pp)
-
-    if per_video:
-        agg = aggregate(per_video, frame_counts)
-        print(
-            "========== AUC: {AUC}\tCC: {CC}\tAUCB: {AUCB}\tSIM: {SIM}".format(**agg)
-        )
-        # Reference-compatible result file (test_temporal.py:186-187).
-        with open(f"{args.dir.split('/')[-1]}_result.txt", "w") as f:
-            print(f"total result:{agg['CC']}, {agg['AUC']}, {agg['AUCB']}", file=f)
 
 
 if __name__ == "__main__":

@@ -145,6 +145,20 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     return step
 
 
+def _global_any(flag: bool) -> bool:
+    """Multi-process agreement on a per-process bool (e.g. a preemption
+    signal): every process must call this every iteration so hosts cannot
+    disagree by one step — a skewed decision would issue mismatched
+    collectives (one host checkpointing while the other enters the next
+    step's psum) and deadlock the job.  Single-process: the flag itself.
+    """
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    return bool(multihost_utils.process_allgather(np.asarray(flag)).any())
+
+
 def _host_state(tree):
     """Fetch a (possibly process-spanning) state tree to host numpy.
 
@@ -460,10 +474,13 @@ def train(
                     )
                     ck.save(params, opt_state, it, epoch)
                     prune_checkpoints(ckdir, cfg.keep_checkpoints)
-                if shutdown.requested:
+                if _global_any(shutdown.requested):
                     # preemption: persist everything needed for an exact
                     # resume (params + Adam moments + counters), then leave
-                    # through the ExitStack (flushes async saves + logger)
+                    # through the ExitStack (flushes async saves + logger).
+                    # _global_any makes every host take this branch at the
+                    # SAME iteration even when signals land skewed — the
+                    # checkpoint gather below is collective
                     save_checkpoint(
                         os.path.join(ckdir, checkpoint_name(epoch, it)), params
                     )

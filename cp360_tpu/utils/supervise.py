@@ -34,6 +34,16 @@ from typing import List, Optional, Sequence
 
 
 def _newest_mtime(paths: Sequence[str]) -> float:
+    """Newest activity timestamp under the watched paths.
+
+    Stats DIRECTORY mtimes (a dir's mtime updates on every file create/
+    rename inside it), not every file — a long extraction run accumulates
+    tens of thousands of artifacts and a per-file sweep every poll would
+    hammer the filesystem.  In-place file overwrites/appends don't bump
+    the dir mtime, so watch such files explicitly (a file path stats the
+    file itself, e.g. the training metrics JSONL) — and child stdout
+    counts as progress independently of this.
+    """
     newest = 0.0
     for root in paths:
         if not os.path.exists(root):
@@ -44,12 +54,11 @@ def _newest_mtime(paths: Sequence[str]) -> float:
             except OSError:
                 pass
             continue
-        for dirpath, _dirnames, filenames in os.walk(root):
-            for fn in filenames:
-                try:
-                    newest = max(newest, os.stat(os.path.join(dirpath, fn)).st_mtime)
-                except OSError:
-                    pass  # file vanished mid-walk (tmpfile rename)
+        for dirpath, _dirnames, _filenames in os.walk(root):
+            try:
+                newest = max(newest, os.stat(dirpath).st_mtime)
+            except OSError:
+                pass  # dir vanished mid-walk
     return newest
 
 

@@ -172,6 +172,78 @@ def test_two_process_temporal_cli_stripes_and_merges(tmp_path):
     assert abs(aucb2 - aucb1) < 0.05, (aucb1, aucb2)
 
 
+def test_two_process_temporal_failed_stripe_fails_fast(tmp_path):
+    """A host whose stripe fails must still reach the merge barrier (peers
+    must not hang) and the whole job must exit nonzero promptly."""
+    C, n_frames = 8, 12
+    from cp360_tpu.data.dataset import builtin_split
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.compat.torch_weights import save_npz
+    import jax as _jax
+
+    vids = builtin_split("test_25")[:2]
+    arts = tmp_path / "static"
+    rng = np.random.RandomState(0)
+    for vid in vids:
+        fd = arts / vid / "cube_feat"
+        fd.mkdir(parents=True)
+        for t in range(2, n_frames + 1):
+            np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+    # corrupt process 1's stripe (vids[1] under [pid::nproc] striping)
+    with open(arts / vids[1] / "cube_feat" / "000004.npy", "wb") as f:
+        f.write(b"not an npy")
+    save_npz(str(tmp_path / "clstm.npz"),
+             _jax.device_get(init_clstm_params(_jax.random.PRNGKey(0), C, C)))
+
+    import cp360_tpu
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cp360_tpu.__file__)))
+    port = _free_port()
+    argv = [sys.executable, "-m", "cp360_tpu.cli.test_temporal",
+            "--config", os.path.join(repo, "config.yaml"),
+            "--model", str(tmp_path / "clstm.npz"),
+            "--dir", str(arts), "--batch-windows", "8",
+            "--set", f"output_path={tmp_path}",
+            "--set", f"label_path={tmp_path / 'nolabels'}",
+            "--set", "input_size=8", "--set", "hidden_size=8",
+            "--set", "compute_dtype=float32"]
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ, CP360_PLATFORM="cpu",
+                   PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+                   XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                   CP360_DIST="1", CP360_COORDINATOR=f"127.0.0.1:{port}",
+                   CP360_NUM_PROCESSES="2", CP360_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(argv, env=env, cwd=str(tmp_path),
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)  # a hang trips this timeout
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+
+    assert procs[1].returncode != 0, outs[1]  # the corrupted stripe
+    assert procs[0].returncode != 0, outs[0]  # refuses a partial aggregate
+    assert "stripe(s) on process(es) [1] failed" in outs[0], outs[0][-800:]
+    assert not list((tmp_path / "temporal").glob("_partial_*")), "partials leaked"
+
+
+def test_supervise_refuses_single_worker_of_multiprocess_job(monkeypatch, tmp_path):
+    monkeypatch.setenv("CP360_DIST", "1")
+    monkeypatch.setenv("CP360_NUM_PROCESSES", "2")
+    monkeypatch.setenv("CP360_PROCESS_ID", "0")
+    from cp360_tpu.cli.train_temporal import main
+
+    with pytest.raises(SystemExit, match="whole launch"):
+        main(["--input", str(tmp_path), "--supervise"])
+
+
 @pytest.mark.parametrize("backend", ["npz", "orbax"])
 def test_two_process_train_cli_end_to_end(tmp_path, backend):
     """The PRODUCT training CLI across 2 OS processes: distributed init via

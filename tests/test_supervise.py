@@ -18,6 +18,9 @@ from cp360_tpu.utils.supervise import supervise
 # finish and exit 0.
 STALL_THEN_FINISH = """
 import os, sys, time
+print("child started", flush=True)  # progress: interpreter startup on this
+# host takes seconds (sitecustomize), more under load — the stall window
+# must measure from here, not from launch
 out, marker = sys.argv[1], sys.argv[2]
 if not os.path.exists(marker):
     open(marker, "w").write("x")
@@ -54,7 +57,7 @@ def _run(tmp_path, script, **kw):
 def test_stalled_child_is_restarted_and_completes(tmp_path):
     rc, out, logs = _run(
         tmp_path, STALL_THEN_FINISH,
-        stall_timeout_s=3.0, poll_s=0.3, grace_s=2.0, max_restarts=2,
+        stall_timeout_s=6.0, poll_s=0.3, grace_s=2.0, max_restarts=2,
     )
     assert rc == 0
     assert (out / "000003.npy").exists()

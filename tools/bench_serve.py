@@ -76,14 +76,21 @@ def main():
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     print(f"serve: warmup {time.time()-t0:.0f}s, port {port}", file=sys.stderr)
 
-    # distinct JPEG frames (the tunnel content-dedups repeated buffers)
-    rng = np.random.RandomState(0)
-    frames = []
-    for _ in range(n_req):
-        img = Image.fromarray((rng.rand(960, 1920, 3) * 255).astype(np.uint8))
-        buf = io.BytesIO()
-        img.save(buf, "JPEG")
-        frames.append(buf.getvalue())
+    # distinct JPEG frames (the tunnel content-dedups repeated buffers —
+    # including across RUNS, hence the urandom seed; every phase below
+    # generates FRESH frames for the same reason)
+    rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
+
+    def fresh_frames(n):
+        out = []
+        for _ in range(n):
+            img = Image.fromarray((rng.rand(960, 1920, 3) * 255).astype(np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG")
+            out.append(buf.getvalue())
+        return out
+
+    frames = fresh_frames(n_req)
 
     # 1. sequential latency
     lats = []
@@ -109,6 +116,7 @@ def main():
             with lock:
                 done.append(time.time() - t)
 
+    frames = fresh_frames(n_req)  # phase-1 bytes would be dedup hits
     chunks = [frames[i::conc] for i in range(conc)]
     t0 = time.time()
     ths = [threading.Thread(target=client, args=(c,)) for c in chunks]
@@ -131,7 +139,7 @@ def main():
         per = max(cfg.seq_len + 1, n_req // conc)
 
         def session_client(seed, out, i):
-            r = np.random.RandomState(seed)
+            r = np.random.RandomState(seed)  # distinct per session AND run
             sid = json.loads(_post(port, "/temporal/session", b""))["session"]
             for _ in range(per):
                 img = Image.fromarray((r.rand(960, 1920, 3) * 255).astype(np.uint8))
@@ -143,7 +151,8 @@ def main():
 
         out = [0] * conc
         t0 = time.time()
-        ths = [threading.Thread(target=session_client, args=(7 + i, out, i))
+        seeds = [int.from_bytes(os.urandom(4), "little") for _ in range(conc)]
+        ths = [threading.Thread(target=session_client, args=(seeds[i], out, i))
                for i in range(conc)]
         for t in ths:
             t.start()
