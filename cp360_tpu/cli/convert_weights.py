@@ -1,0 +1,91 @@
+"""Checkpoint conversion CLI: reference ``.pth`` -> this framework's ``.npz``.
+
+A user migrating from the reference repo owns two kinds of torch
+checkpoints (SURVEY.md §2 #4/#9):
+
+  - torchvision-zoo ResNet weights, which the reference loads with its
+    size-tolerant homemade loader (model/resnet_cubic.py:183-201,228-237);
+  - the released trained ConvLSTM ``.pth`` the temporal driver restores
+    (temporal_model/test_temporal.py:147-150).
+
+This CLI is the one-shot bridge (torch is used host-side only, to read the
+file; conversion itself is numpy):
+
+    cp360-convert --kind resnet --arch resnet50 zoo_resnet50.pth resnet50.npz
+    cp360-convert --kind clstm  released_clstm.pth clstm.npz
+
+The .npz round-trips through ``compat.torch_weights.load_npz`` into the
+nested param dicts every model constructor here accepts; layout mapping
+(OIHW->HWIO etc.) is documented in compat/torch_weights.py.  ``--kind
+auto`` sniffs the state dict's key names.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def sniff_kind(keys) -> str:
+    """Guess 'resnet' or 'clstm' from torch state-dict key names.
+
+    The reference CLSTM's six tensors are Conv1/Conv2/Gates .weight/.bias
+    (model/clstm.py:28-34); torchvision ResNets live under layerN.* / fc.*
+    and always carry BN running stats.
+    """
+    ks = list(keys)
+    if any(k.startswith(("Conv1.", "Conv2.", "Gates.")) for k in ks):
+        return "clstm"
+    if any(k.startswith(("layer", "fc.")) or "running_mean" in k for k in ks):
+        return "resnet"
+    # the reference's sequential fallback loader treats any 6-tensor dict
+    # as a CLSTM (model/clstm.py:92-101); mirror that
+    return "clstm" if len(ks) == 6 else "resnet"
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="cp360-convert",
+        description="Convert a reference/torchvision .pth checkpoint to .npz",
+    )
+    p.add_argument("input", help="source .pth (torch state dict or module)")
+    p.add_argument("output", help="destination .npz")
+    p.add_argument(
+        "--kind", choices=["auto", "resnet", "clstm"], default="auto",
+        help="checkpoint family (default: sniff from key names)",
+    )
+    p.add_argument(
+        "--arch", default="resnet50",
+        help="resnet depth for --kind resnet (resnet18/34/50/101/152)",
+    )
+    args = p.parse_args(argv)
+
+    from cp360_tpu.compat import torch_weights as tw
+
+    try:
+        sd = tw.load_torch_state_dict(args.input)
+    except FileNotFoundError:
+        print(f"cp360-convert: no such file: {args.input}", file=sys.stderr)
+        return 2
+    kind = args.kind
+    if kind == "auto":
+        kind = sniff_kind(sd.keys())
+        print(f"cp360-convert: sniffed kind={kind}", file=sys.stderr)
+    try:
+        if kind == "resnet":
+            params = tw.convert_resnet_state_dict(sd, args.arch)
+        else:
+            params = tw.convert_clstm_state_dict(sd)
+    except (KeyError, ValueError) as e:
+        print(f"cp360-convert: {args.input} does not look like a {kind} "
+              f"({args.arch if kind == 'resnet' else '6-tensor'}) state dict: "
+              f"missing/invalid {e}", file=sys.stderr)
+        return 2
+    tw.save_npz(args.output, params)
+    n = len(tw.flatten_params(params))
+    print(f"cp360-convert: wrote {n} arrays -> {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

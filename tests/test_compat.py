@@ -73,6 +73,75 @@ def test_convert_pth_roundtrip(tmp_path):
         np.testing.assert_array_equal(params[name]["b"], want[name]["b"])
 
 
+def test_convert_weights_cli_auto_kinds(tmp_path):
+    """cp360-convert sniffs the family and round-trips both checkpoint kinds."""
+    import torch
+
+    from cp360_tpu.cli.convert_weights import main as convert_main, sniff_kind
+    from cp360_tpu.compat.torch_weights import convert_resnet_state_dict
+    from cp360_tpu.models.resnet import init_resnet_params
+
+    # CLSTM: reference key names (model/clstm.py:28-34)
+    sd = {
+        "Conv1.weight": torch.randn(4, 2, 3, 3),
+        "Conv1.bias": torch.randn(4),
+        "Conv2.weight": torch.randn(4, 4, 3, 3),
+        "Conv2.bias": torch.randn(4),
+        "Gates.weight": torch.randn(16, 8, 3, 3),
+        "Gates.bias": torch.randn(16),
+    }
+    pth = str(tmp_path / "clstm.pth")
+    torch.save(sd, pth)
+    out = str(tmp_path / "clstm.npz")
+    assert convert_main([pth, out]) == 0  # --kind auto is the default
+    params = load_npz(out)
+    want = convert_clstm_state_dict({k: v.numpy() for k, v in sd.items()})
+    np.testing.assert_array_equal(params["gates"]["w"], want["gates"]["w"])
+
+    # ResNet: a full torchvision-style resnet18 state dict (basic blocks,
+    # downsample conv at the first block of layers 2-4)
+    def bn(pre, c):
+        return {
+            f"{pre}.weight": torch.randn(c), f"{pre}.bias": torch.randn(c),
+            f"{pre}.running_mean": torch.randn(c),
+            f"{pre}.running_var": torch.rand(c) + 0.5,
+        }
+
+    tsd = {"conv1.weight": torch.randn(64, 3, 7, 7), **bn("bn1", 64)}
+    cin = 64
+    for li, cout in enumerate([64, 128, 256, 512]):
+        for bi in range(2):
+            pre = f"layer{li + 1}.{bi}"
+            c1_in = cin if bi == 0 else cout
+            tsd[f"{pre}.conv1.weight"] = torch.randn(cout, c1_in, 3, 3)
+            tsd.update(bn(f"{pre}.bn1", cout))
+            tsd[f"{pre}.conv2.weight"] = torch.randn(cout, cout, 3, 3)
+            tsd.update(bn(f"{pre}.bn2", cout))
+            if bi == 0 and cin != cout:
+                tsd[f"{pre}.downsample.0.weight"] = torch.randn(cout, cin, 1, 1)
+                tsd.update(bn(f"{pre}.downsample.1", cout))
+        cin = cout
+    tsd["fc.weight"] = torch.randn(1000, 512)
+    tsd["fc.bias"] = torch.randn(1000)
+    assert sniff_kind(tsd.keys()) == "resnet"
+    pth2 = str(tmp_path / "rn.pth")
+    torch.save(tsd, pth2)
+    out2 = str(tmp_path / "rn.npz")
+    assert convert_main([pth2, out2, "--arch", "resnet18"]) == 0
+    got = load_npz(out2)
+    want2 = convert_resnet_state_dict(
+        {k: v.numpy() for k, v in tsd.items()}, "resnet18")
+    np.testing.assert_array_equal(
+        np.asarray(got["conv1"]["w"]), np.asarray(want2["conv1"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["fc"]["w"]), np.asarray(want2["fc"]["w"]))
+    # the converted tree merges cleanly into a real init (shape-compatible)
+    init = jax.device_get(init_resnet_params(jax.random.PRNGKey(0), "resnet18"))
+    logs = []
+    merge_pretrained_tolerant(init, got, log_fn=logs.append)
+    assert not any("inconsistent size" in m for m in logs), logs
+
+
 def test_convert_pth_unknown_kind(tmp_path):
     import torch
 
