@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import typing
 from dataclasses import dataclass
 from typing import Optional
@@ -26,8 +27,8 @@ import yaml
 @dataclass(frozen=True)
 class Config:
     # Paths (config.yaml:1-5)
-    data_vid_path: str = "./dataset"
-    label_path: str = "./Wild360_GT"
+    data_vid_path: str = "./dataset/360_Discovery"
+    label_path: str = "./dataset/Wild360_GT"
     output_path: str = "./output"
     checkpoint_path: str = "./checkpoint"
 
@@ -108,6 +109,16 @@ class Config:
     serve_batch_window_ms: float = 5.0  # serving: how long the device
     #   worker waits after a request arrives for others to join its batch
     #   (paid only when the queue is shallower than serve_max_batch)
+    grad_clip_norm: float = 0.0  # >0: clip the global gradient norm before
+    #   Adam (optax.clip_by_global_norm).  0 = the reference's bare
+    #   Adam(lr) (train_temporal.py:256) — also keeps the opt-state pytree
+    #   checkpoint-compatible with it
+    lr_schedule: str = "constant"  # 'constant' (reference) | 'cosine' |
+    #   'linear' — peak lr is `lr`, decaying to 0 over lr_total_steps
+    lr_warmup_steps: int = 0  # >0: linear 0 -> lr warmup over this many
+    #   optimizer steps (composes with any schedule)
+    lr_total_steps: int = 0  # decay horizon (optimizer steps, incl.
+    #   warmup); required > 0 for the cosine/linear schedules
     segment_windows: int = 1  # >1: the training loader yields SEGMENTS of
     #   G consecutive stride-1 windows as one contiguous frame run
     #   (G + seq_len - 1 frames shipped ONCE instead of each frame up to
@@ -187,7 +198,13 @@ def _coerce(field: dataclasses.Field, raw: str):
 
 
 def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml") -> Config:
-    cfg = load_config(args.config or default_path)
+    # an explicitly named --config must exist; the implicit ./config.yaml
+    # falls back to the (identical) dataclass defaults when absent, so the
+    # CLIs run from any cwd
+    if args.config is None and not os.path.exists(default_path):
+        cfg = Config()
+    else:
+        cfg = load_config(args.config or default_path)
     mapping = {"sml": "l_s", "tmpl": "l_t", "mml": "l_m", "lr": "lr"}
     kw = {
         dst: getattr(args, src)

@@ -63,6 +63,7 @@ class SaliencyModel:
 
     def __init__(self, params: dict, cfg: Config, arch: str = "resnet50",
                  clstm_params: dict | None = None):
+        import jax
         import jax.numpy as jnp
 
         from cp360_tpu.serving.batcher import DynamicBatcher
@@ -72,6 +73,22 @@ class SaliencyModel:
         self.arch = arch
         self.clstm_params = clstm_params
         self._jnp = jnp
+        # data-parallel serving: with mesh_data > 1 the fused batch steps
+        # shard requests over this host's devices (GSPMD via sharded inputs
+        # + replicated params — predictions are bit-identical, throughput
+        # scales with chips).  The model axis is not used here: serving
+        # batches are the natural parallelism for request traffic.
+        self.mesh = None
+        if cfg.mesh_data > 1:
+            from cp360_tpu.parallel import mesh as pm
+
+            self.mesh = pm.local_data_mesh(
+                pm.make_mesh(n_data=cfg.mesh_data, n_model=1,
+                             devices=jax.local_devices()[:cfg.mesh_data]))
+            self.params = jax.device_put(params, pm.replicated(self.mesh))
+            if clstm_params is not None:
+                self.clstm_params = jax.device_put(
+                    clstm_params, pm.replicated(self.mesh))
         self._lock = threading.Lock()
         self._sessions: dict = {}  # id -> list of device [6, h, w, C] cubes
         # every transfer/dispatch goes through either the batcher worker or
@@ -100,13 +117,11 @@ class SaliencyModel:
     def warmup(self) -> None:
         """Compile every stage-1 bucket size (and the temporal path) so the
         first real burst doesn't pay a multi-second device compile."""
-        from cp360_tpu.serving.batcher import bucket_size
-
         dummy = np.zeros((self.cfg.equi_w, self.cfg.equi_h, 3), np.uint8)
         prep = self._host_prep(dummy)
         b, seen = 1, set()
         while True:
-            bs = bucket_size(b, self._batcher.max_batch)
+            bs = self._bucket(b, self._batcher.max_batch)
             if bs not in seen:
                 seen.add(bs)
                 self._run_stage1_batch([prep] * bs)
@@ -122,7 +137,7 @@ class SaliencyModel:
             window = tuple(self._sessions[sid]["frames"])
             b = 2
             while True:
-                bs = bucket_size(b, self._temporal_batcher.max_batch)
+                bs = self._bucket(b, self._temporal_batcher.max_batch)
                 self._run_window_batch([window] * bs)
                 if bs >= self._temporal_batcher.max_batch:
                     break
@@ -132,6 +147,29 @@ class SaliencyModel:
     def _compute_dtype(self):
         jnp = self._jnp
         return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def _bucket(self, n: int, max_batch: int) -> int:
+        """Jit-cache bucket for n pending requests: power-of-two, and with a
+        mesh also a multiple of the data-axis size (even shards)."""
+        from cp360_tpu.serving.batcher import bucket_size
+
+        b = bucket_size(n, max_batch)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            b = -(-b // d) * d
+        return b
+
+    def _put_batch(self, arrays):
+        """Host batch -> device: batch-sharded over the mesh's data axis when
+        serving data-parallel, plain asarray otherwise."""
+        if self.mesh is None:
+            return [self._jnp.asarray(a) for a in arrays]
+        import jax
+
+        from cp360_tpu.parallel.mesh import data_sharding
+
+        sh = data_sharding(self.mesh)
+        return [jax.device_put(a, sh) for a in arrays]
 
     def _host_prep(self, frame_u8: np.ndarray):
         """Resize + cube remap + optional 4:2:0 pack — pure host work, runs
@@ -164,19 +202,17 @@ class SaliencyModel:
             stage1_batch_faces,
             stage1_batch_faces_yuv,
         )
-        from cp360_tpu.serving.batcher import bucket_size
         from cp360_tpu.utils.transfer import fetch_np
 
-        jnp = self._jnp
         n = len(preps)
-        b = bucket_size(n, self._batcher.max_batch)
+        b = self._bucket(n, self._batcher.max_batch)
         padded = list(preps) + [preps[-1]] * (b - n)
         stacked = [np.stack(parts) for parts in zip(*padded)]
         fn = (stage1_batch_faces_yuv if self.cfg.upload_format == "yuv420"
               else stage1_batch_faces)
         with self._device_lock:
             scores, sal = fn(
-                self.params, *(jnp.asarray(s) for s in stacked),
+                self.params, *self._put_batch(stacked),
                 arch=self.arch, use_cube_pad=self.cfg.cube_pad,
                 compute_dtype=self._compute_dtype(),
             )
@@ -232,15 +268,20 @@ class SaliencyModel:
         the batched predictions identical to running each window alone.
         """
         from cp360_tpu.pipelines.temporal import window_infer
-        from cp360_tpu.serving.batcher import bucket_size
         from cp360_tpu.utils.transfer import fetch_np
 
         jnp = self._jnp
         n = len(windows)
-        b = bucket_size(n, self._temporal_batcher.max_batch)
+        b = self._bucket(n, self._temporal_batcher.max_batch)
         padded = list(windows) + [windows[-1]] * (b - n)
         with self._device_lock:
             batch = jnp.stack([jnp.stack(w) for w in padded])  # [b,T,6,h,w,C]
+            if self.mesh is not None:
+                import jax
+
+                from cp360_tpu.parallel.mesh import data_sharding
+
+                batch = jax.device_put(batch, data_sharding(self.mesh))
             sal = window_infer(
                 self.clstm_params, batch, use_cube_pad=self.cfg.cube_pad,
                 compute_dtype=self._compute_dtype(),
@@ -311,6 +352,8 @@ def make_handler(model: SaliencyModel):
                     "frame_hw": list(model.cfg.frame_hw),
                     "temporal": model.clstm_params is not None,
                     "seq_len": model.cfg.seq_len,
+                    "data_parallel": (model.mesh.shape["data"]
+                                      if model.mesh is not None else 1),
                     "batching": {
                         "max_batch": model._batcher.max_batch,
                         "window_ms": model._batcher.window_s * 1000.0,

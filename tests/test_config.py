@@ -99,3 +99,22 @@ def test_unknown_cli_args_warn(capsys):
     assert "ignoring unrecognized" in capsys.readouterr().out
     warn_ignored_args([])
     assert capsys.readouterr().out == ""
+
+
+def test_missing_default_config_falls_back_to_defaults(tmp_path, monkeypatch):
+    """CLIs run from any cwd: no ./config.yaml -> dataclass defaults, which
+    equal the repo config.yaml; an explicit --config must still exist."""
+    import argparse
+    import pytest
+
+    from cp360_tpu.config import Config, config_from_args, load_config
+
+    repo_cfg = load_config(os.path.join(os.path.dirname(__file__), "..", "config.yaml"))
+    assert repo_cfg == Config()
+
+    monkeypatch.chdir(tmp_path)  # no config.yaml here
+    args = argparse.Namespace(config=None, set=None)
+    assert config_from_args(args) == Config()
+    args = argparse.Namespace(config=str(tmp_path / "nope.yaml"), set=None)
+    with pytest.raises(FileNotFoundError):
+        config_from_args(args)

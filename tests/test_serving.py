@@ -385,6 +385,53 @@ def test_concurrent_temporal_sessions_match_serial():
     model._temporal_batcher.close()
 
 
+def test_data_parallel_serving_matches_single_device():
+    """mesh_data > 1 shards the fused batch steps over local devices; every
+    prediction (stage-1 and temporal) matches the single-device model."""
+    from cp360_tpu.models.clstm import init_clstm_params
+
+    n_dev = min(4, len(jax.devices()))
+    if n_dev < 2:
+        pytest.skip("needs >=2 devices")
+    kw = dict(equi_h=256, equi_w=128, cube_dim=64, seq_len=3,
+              compute_dtype="float32", serve_max_batch=4,
+              serve_batch_window_ms=200.0)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    ref = SaliencyModel(params, Config(**kw), arch="resnet18", clstm_params=clstm)
+    dp = SaliencyModel(params, Config(mesh_data=n_dev, **kw), arch="resnet18",
+                       clstm_params=clstm)
+    assert dp.mesh is not None and dp.mesh.shape["data"] == n_dev
+    # dp buckets are multiples of the data-axis size
+    assert dp._bucket(1, 4) == n_dev and dp._bucket(3, 4) == n_dev
+
+    rng = np.random.RandomState(3)
+    frames = [(rng.rand(128, 256, 3) * 255).astype(np.uint8) for _ in range(3)]
+    for f in frames:
+        # dp pads the singleton to a full n_dev bucket and shards it; the
+        # math is the same conv graph, so only f32 reassociation noise
+        np.testing.assert_allclose(dp.predict(f), ref.predict(f),
+                                   rtol=1e-4, atol=5e-5)
+
+    def run_session(model, frames):
+        sid = model.temporal_start()
+        preds = {}
+        for i, f in enumerate(frames):
+            idx, sal = model.temporal_push(sid, f)
+            if sal is not None:
+                preds[i] = sal
+        model.temporal_close(sid)
+        return preds
+
+    want = run_session(ref, frames)
+    got = run_session(dp, frames)
+    assert sorted(want) == sorted(got) == [2]
+    np.testing.assert_allclose(got[2], want[2], rtol=1e-4, atol=5e-5)
+    for m in (ref, dp):
+        m._batcher.close()
+        m._temporal_batcher.close()
+
+
 def test_healthz_reports_batching(server):
     conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
     conn.request("GET", "/healthz")
