@@ -37,9 +37,42 @@ from cp360_tpu.train import losses as L
 TMP_LOSS_LEN = 3  # pairs of consecutive predictions entering the losses
 
 
+def lr_schedule_from_config(cfg: Config):
+    """`lr` (a float — the reference's constant) or an optax schedule.
+
+    Warmup/decay are TPU-native additions the reference lacks
+    (train_temporal.py:256 is bare Adam(lr)); all default off.
+    """
+    if cfg.lr_schedule == "constant":
+        if cfg.lr_warmup_steps <= 0:
+            return cfg.lr
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps),
+             optax.constant_schedule(cfg.lr)],
+            [cfg.lr_warmup_steps])
+    if cfg.lr_total_steps <= 0:
+        raise ValueError(
+            f"lr_schedule={cfg.lr_schedule!r} needs lr_total_steps > 0")
+    decay = max(1, cfg.lr_total_steps - cfg.lr_warmup_steps)
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, cfg.lr_warmup_steps, cfg.lr_total_steps)
+    if cfg.lr_schedule == "linear":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps),
+             optax.linear_schedule(cfg.lr, 0.0, decay)],
+            [cfg.lr_warmup_steps])
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     # Reference: Adam(lr), default betas/eps (train_temporal.py:256).
-    return optax.adam(cfg.lr)
+    # The default config path returns EXACTLY that (and its opt-state
+    # pytree); grad_clip_norm / lr_schedule are opt-in production knobs.
+    tx = optax.adam(lr_schedule_from_config(cfg))
+    if cfg.grad_clip_norm > 0.0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx
 
 
 def predictions_from_hiddens(hiddens: jax.Array, batch: int) -> jax.Array:

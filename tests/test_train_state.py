@@ -305,3 +305,69 @@ def test_checkpoint_pruning(tmp_path):
     left = sorted(p.name for p in d.iterdir())
     assert left == ["CLSTM_00_000020.npz", "CLSTM_01_000030.npz",
                     "epoch_00.npz", "train_state_latest.npz"]
+
+
+def test_optimizer_knobs_default_is_bare_adam():
+    """Default config builds exactly the reference's Adam(lr): identical
+    update AND opt-state pytree structure (checkpoint compatibility)."""
+    import optax
+
+    from cp360_tpu.train.loop import make_optimizer
+
+    cfg = Config()
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+    grads = {"w": jnp.full((4,), 0.5), "b": jnp.array([1.0, -2.0])}
+    tx, ref = make_optimizer(cfg), optax.adam(cfg.lr)
+    s1, s2 = tx.init(params), ref.init(params)
+    assert jax.tree_util.tree_structure(s1) == jax.tree_util.tree_structure(s2)
+    u1, _ = tx.update(grads, s1, params)
+    u2, _ = ref.update(grads, s2, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u1), jax.tree_util.tree_leaves(u2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_optimizer_grad_clip_bounds_global_norm():
+    import optax
+
+    from cp360_tpu.train.loop import make_optimizer
+
+    cfg = Config(grad_clip_norm=1.0)
+    params = {"w": jnp.zeros((3,))}
+    big = {"w": jnp.array([300.0, 400.0, 0.0])}  # global norm 500
+    tx = make_optimizer(cfg)
+    state = tx.init(params)
+    u_big, _ = tx.update(big, state, params)
+    # same direction, clipped to norm 1 before Adam -> identical update to
+    # feeding the pre-clipped gradient into bare Adam
+    ref = optax.adam(cfg.lr)
+    u_ref, _ = ref.update({"w": big["w"] / 500.0}, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(u_big["w"]), np.asarray(u_ref["w"]),
+                               rtol=1e-6, atol=0)
+
+
+def test_lr_schedules_shape_and_validation():
+    import pytest as _pytest
+
+    from cp360_tpu.train.loop import lr_schedule_from_config
+
+    # constant without warmup is the plain float
+    assert lr_schedule_from_config(Config()) == Config().lr
+    # warmup ramps 0 -> lr then holds
+    sched = lr_schedule_from_config(Config(lr_warmup_steps=10))
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == _pytest.approx(Config().lr)
+    assert float(sched(1000)) == _pytest.approx(Config().lr)
+    # cosine decays to ~0 at the horizon, peaks after warmup
+    c = Config(lr_schedule="cosine", lr_warmup_steps=5, lr_total_steps=50)
+    sched = lr_schedule_from_config(c)
+    assert float(sched(5)) == _pytest.approx(c.lr)
+    assert float(sched(50)) < 0.05 * c.lr
+    # linear hits exactly 0
+    lin = lr_schedule_from_config(
+        Config(lr_schedule="linear", lr_total_steps=20))
+    assert float(lin(20)) == 0.0 and float(lin(0)) == _pytest.approx(Config().lr)
+    # missing horizon / unknown name fail loudly
+    with _pytest.raises(ValueError, match="lr_total_steps"):
+        lr_schedule_from_config(Config(lr_schedule="cosine"))
+    with _pytest.raises(ValueError, match="unknown lr_schedule"):
+        lr_schedule_from_config(Config(lr_schedule="step", lr_total_steps=5))
