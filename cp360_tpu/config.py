@@ -109,6 +109,10 @@ class Config:
     serve_batch_window_ms: float = 5.0  # serving: how long the device
     #   worker waits after a request arrives for others to join its batch
     #   (paid only when the queue is shallower than serve_max_batch)
+    serve_request_timeout_s: float = 0.0  # >0: a /saliency or /temporal
+    #   request waiting longer than this on the device worker fails with
+    #   HTTP 504 instead of hanging (the relay can wedge a transfer
+    #   forever; recovery needs a process restart — utils/supervise.py)
     grad_clip_norm: float = 0.0  # >0: clip the global gradient norm before
     #   Adam (optax.clip_by_global_norm).  0 = the reference's bare
     #   Adam(lr) (train_temporal.py:256) — also keeps the opt-state pytree

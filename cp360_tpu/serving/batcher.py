@@ -59,29 +59,54 @@ class DynamicBatcher:
         self._run_batch = run_batch
         self.max_batch = int(max_batch)
         self.window_s = float(window_ms) / 1000.0
-        # counters are only written by the worker thread; readers see a
-        # consistent-enough snapshot for /healthz and tests
-        self.stats = {"batches": 0, "items": 0, "max_group": 0}
+        # batches/items/max_group are written only by the worker thread;
+        # timeouts by caller threads (GIL-atomic enough for monitoring) —
+        # readers see a consistent-enough snapshot for /healthz and tests
+        self.stats = {"batches": 0, "items": 0, "max_group": 0, "timeouts": 0}
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._busy_since: float | None = None
         self._worker = threading.Thread(
             target=self._loop, name=f"{name}-worker", daemon=True)
         self._worker.start()
 
-    def submit(self, item: Any) -> Any:
+    def submit(self, item: Any, timeout_s: float | None = None) -> Any:
+        """Block until the item's group has run; return its result.
+
+        With ``timeout_s``, raise TimeoutError instead of waiting forever —
+        the production guard for this host's wedge-a-transfer-forever
+        failure mode (the worker thread cannot be killed, but callers must
+        not hang with it; pair with process-level supervision for actual
+        recovery, utils/supervise.py).  A timed-out item may still be
+        computed later; its result is dropped.
+        """
         if self._closed:
             raise RuntimeError("batcher is closed")
         slot = _Slot()
         self._q.put((item, slot))
+        deadline = None if timeout_s is None else time.monotonic() + timeout_s
         # poll the worker's liveness: a submit that enqueues between
         # close()'s drain and the worker exiting would otherwise block
         # forever (its slot is never served)
         while not slot.event.wait(0.5):
             if self._closed and not self._worker.is_alive():
                 raise RuntimeError("batcher is closed")
+            if deadline is not None and time.monotonic() > deadline:
+                self.stats["timeouts"] += 1
+                busy = self.busy_for_s()
+                detail = (f" (device step stalled {busy:.0f}s)"
+                          if busy > timeout_s else "")
+                raise TimeoutError(
+                    f"request timed out after {timeout_s:.0f}s{detail}")
         if slot.exc is not None:
             raise slot.exc
         return slot.result
+
+    def busy_for_s(self) -> float:
+        """Seconds the worker has spent inside the CURRENT run_batch call
+        (0.0 when idle) — a stalled device step shows up here."""
+        t0 = self._busy_since
+        return 0.0 if t0 is None else time.monotonic() - t0
 
     def close(self) -> None:
         """Stop the worker; pending/future submits fail with RuntimeError."""
@@ -127,6 +152,7 @@ class DynamicBatcher:
                     entry[1].exc = RuntimeError("batcher is closed")
                     entry[1].event.set()
             items = [item for item, _ in group]
+            self._busy_since = time.monotonic()
             try:
                 results = self._run_batch(items)
                 if len(results) != len(items):
@@ -138,6 +164,8 @@ class DynamicBatcher:
                     slot.exc = e
                     slot.event.set()
                 continue
+            finally:
+                self._busy_since = None
             self.stats["batches"] += 1
             self.stats["items"] += len(items)
             self.stats["max_group"] = max(self.stats["max_group"], len(items))

@@ -57,6 +57,61 @@ MAX_SESSIONS = 64
 SESSION_IDLE_TTL_S = 600.0  # abandoned sessions are evicted after this
 
 
+class RequestMetrics:
+    """Thread-safe request counters/latency for the /metrics endpoint."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._requests: dict = {}  # (route, code) -> count
+        self._latency: dict = {}  # route -> [sum_s, count]
+        self.started = time.time()
+
+    def observe(self, route: str, code: int, dur_s: float) -> None:
+        with self._lock:
+            key = (route, code)
+            self._requests[key] = self._requests.get(key, 0) + 1
+            s = self._latency.setdefault(route, [0.0, 0])
+            s[0] += dur_s
+            s[1] += 1
+
+    def render(self, model: "SaliencyModel") -> str:
+        """Prometheus text exposition (counters + live gauges)."""
+        with self._lock:
+            reqs = dict(self._requests)
+            lat = {r: tuple(v) for r, v in self._latency.items()}
+        lines = [
+            "# TYPE cp360_requests_total counter",
+            *(f'cp360_requests_total{{route="{r}",code="{c}"}} {n}'
+              for (r, c), n in sorted(reqs.items())),
+            "# TYPE cp360_request_seconds_sum counter",
+            *(f'cp360_request_seconds_sum{{route="{r}"}} {s:.6f}'
+              for r, (s, _) in sorted(lat.items())),
+            "# TYPE cp360_request_seconds_count counter",
+            *(f'cp360_request_seconds_count{{route="{r}"}} {n}'
+              for r, (_, n) in sorted(lat.items())),
+            "# TYPE cp360_uptime_seconds gauge",
+            f"cp360_uptime_seconds {time.time() - self.started:.1f}",
+        ]
+        batchers = [("stage1", model._batcher)]
+        if model._temporal_batcher is not None:
+            batchers.append(("temporal", model._temporal_batcher))
+        for metric, kind in (("batches_total", "counter"),
+                             ("items_total", "counter"),
+                             ("timeouts_total", "counter"),
+                             ("max_group", "gauge"),
+                             ("busy_seconds", "gauge")):
+            lines.append(f"# TYPE cp360_batcher_{metric} {kind}")
+            for name, b in batchers:
+                stat = metric.removesuffix("_total")
+                val = (f"{b.busy_for_s():.3f}" if metric == "busy_seconds"
+                       else b.stats[stat])
+                lines.append(
+                    f'cp360_batcher_{metric}{{batcher="{name}"}} {val}')
+        lines.append("# TYPE cp360_sessions_active gauge")
+        lines.append(f"cp360_sessions_active {len(model._sessions)}")
+        return "\n".join(lines) + "\n"
+
+
 class SaliencyModel:
     """Holds params + the compiled stage-1 step (and optionally the
     ConvLSTM + streaming sessions); thread-safe predict()/temporal_*()."""
@@ -73,6 +128,7 @@ class SaliencyModel:
         self.arch = arch
         self.clstm_params = clstm_params
         self._jnp = jnp
+        self.request_metrics = RequestMetrics()
         # data-parallel serving: with mesh_data > 1 the fused batch steps
         # shard requests over this host's devices (GSPMD via sharded inputs
         # + replicated params — predictions are bit-identical, throughput
@@ -219,10 +275,15 @@ class SaliencyModel:
             sal_np = fetch_np(sal)
         return [(scores[i], sal_np[i]) for i in range(n)]
 
+    def _timeout_s(self):
+        t = self.cfg.serve_request_timeout_s
+        return t if t > 0 else None
+
     def _stage1(self, frame_u8: np.ndarray):
         """One frame through the batched stage-1 path.  Returns
         (scores [6,h,w,C] device, sal [2h,4w] np.float32)."""
-        return self._batcher.submit(self._host_prep(frame_u8))
+        return self._batcher.submit(self._host_prep(frame_u8),
+                                    timeout_s=self._timeout_s())
 
     def predict(self, frame_u8: np.ndarray) -> np.ndarray:
         """[H, W, 3] uint8 equi frame -> [2h, 4w] saliency map (f32).
@@ -318,7 +379,8 @@ class SaliencyModel:
             sess["count"] += 1
             if len(sess["frames"]) < seq_len:
                 return idx, None
-            sal = self._temporal_batcher.submit(tuple(sess["frames"]))
+            sal = self._temporal_batcher.submit(tuple(sess["frames"]),
+                                                timeout_s=self._timeout_s())
         with self._lock:
             if sid in self._sessions:
                 sess["last_used"] = time.monotonic()
@@ -337,14 +399,44 @@ def make_handler(model: SaliencyModel):
             pass
 
         def _send(self, code: int, body: bytes, ctype: str = "application/json"):
+            self._sent_code = code
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
 
+        def _route_label(self) -> str:
+            p = urlparse(self.path).path.rstrip("/")
+            if p.startswith("/temporal/"):
+                return "temporal_" + p.split("/")[2]
+            return p.lstrip("/") or "healthz"
+
         def do_GET(self):
-            if self.path.rstrip("/") in ("", "/healthz"):
+            t0 = time.monotonic()
+            self._sent_code = 0
+            try:
+                self._get()
+            finally:
+                model.request_metrics.observe(
+                    self._route_label(), self._sent_code,
+                    time.monotonic() - t0)
+
+        def do_POST(self):
+            t0 = time.monotonic()
+            self._sent_code = 0
+            try:
+                self._post()
+            finally:
+                model.request_metrics.observe(
+                    self._route_label(), self._sent_code,
+                    time.monotonic() - t0)
+
+        def _get(self):
+            if self.path.rstrip("/") == "/metrics":
+                self._send(200, model.request_metrics.render(model).encode(),
+                           "text/plain; version=0.0.4")
+            elif self.path.rstrip("/") in ("", "/healthz"):
                 info = {
                     "status": "ok",
                     "arch": model.arch,
@@ -402,10 +494,12 @@ def make_handler(model: SaliencyModel):
                 self._send(404, json.dumps({"error": str(e)}).encode())
             except OverflowError as e:
                 self._send(429, json.dumps({"error": str(e)}).encode())
+            except TimeoutError as e:  # serve_request_timeout_s exceeded
+                self._send(504, json.dumps({"error": str(e)}).encode())
             except Exception as e:  # device error mid-step, batcher closed
                 self._send(500, json.dumps({"error": str(e)}).encode())
 
-        def do_POST(self):
+        def _post(self):
             if self.path.startswith("/temporal/"):
                 self._do_temporal(urlparse(self.path).path.split("/")[2])
                 return
@@ -420,6 +514,9 @@ def make_handler(model: SaliencyModel):
 
             try:
                 sal = model.predict(frame)
+            except TimeoutError as e:  # serve_request_timeout_s exceeded
+                self._send(504, json.dumps({"error": str(e)}).encode())
+                return
             except Exception as e:  # device error mid-step, batcher closed
                 self._send(500, json.dumps({"error": str(e)}).encode())
                 return

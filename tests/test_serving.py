@@ -4,6 +4,7 @@ import http.client
 import io
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -383,6 +384,75 @@ def test_concurrent_temporal_sessions_match_serial():
     assert model._temporal_batcher.stats["max_group"] >= 2
     model._batcher.close()
     model._temporal_batcher.close()
+
+
+def test_submit_timeout_on_stalled_worker():
+    """submit(timeout_s=...) raises TimeoutError while a wedged run_batch
+    holds the worker — requests must not hang with the device."""
+    from cp360_tpu.serving.batcher import DynamicBatcher
+
+    release = threading.Event()
+
+    def slow_batch(items):
+        release.wait(20.0)
+        return items
+
+    b = DynamicBatcher(slow_batch, max_batch=2, window_ms=1.0)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="timed out"):
+        b.submit("x", timeout_s=0.8)
+    assert time.monotonic() - t0 < 5.0
+    assert b.stats["timeouts"] == 1 and b.busy_for_s() > 0.5
+    release.set()  # un-wedge so close() can join the worker
+    b.close()
+
+
+def test_server_504_on_request_timeout():
+    """serve_request_timeout_s answers 504 JSON instead of hanging when the
+    device worker is stalled."""
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32",
+                 serve_max_batch=1, serve_request_timeout_s=0.8)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    model = SaliencyModel(params, cfg, arch="resnet18")
+    model.warmup()
+    stall = threading.Event()
+    orig = model._batcher._run_batch
+
+    def wedged(items):
+        stall.wait(20.0)
+        return orig(items)
+
+    model._batcher._run_batch = wedged
+    httpd = serve(model, host="127.0.0.1", port=0, warmup=False)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        status, ctype, data = _post(port, "/saliency", _frame_bytes())
+        assert status == 504 and ctype == "application/json"
+        assert "timed out" in json.loads(data)["error"]
+    finally:
+        stall.set()
+        httpd.shutdown()
+        model._batcher.close()
+
+
+def test_metrics_endpoint(server):
+    # generate one request, then scrape
+    _post(server, "/saliency", _frame_bytes())
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    text = resp.read().decode()
+    assert resp.status == 200 and resp.getheader("Content-Type").startswith("text/plain")
+    assert 'cp360_requests_total{route="saliency",code="200"}' in text
+    assert 'cp360_request_seconds_count{route="saliency"}' in text
+    assert 'cp360_batcher_items_total{batcher="stage1"}' in text
+    assert "cp360_uptime_seconds" in text
+    # the scrape itself is counted on the next scrape
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("GET", "/metrics")
+    assert 'route="metrics"' in conn.getresponse().read().decode()
 
 
 def test_data_parallel_serving_matches_single_device():
