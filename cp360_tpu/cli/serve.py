@@ -47,10 +47,25 @@ def main(argv=None):
     httpd = serve(model, host=args.host, port=args.port)
     print(f"serving saliency on http://{args.host}:{args.port} (arch {args.mode}"
           f"{', temporal' if clstm_params is not None else ''})")
+
+    # production shutdown: SIGTERM (systemd/k8s) drains like Ctrl-C — stop
+    # accepting, finish in-flight handlers, fail queued batcher waiters
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
         httpd.shutdown()
+    finally:
+        model._batcher.close()
+        if model._temporal_batcher is not None:
+            model._temporal_batcher.close()
+    print("serve: shut down cleanly")
 
 
 if __name__ == "__main__":

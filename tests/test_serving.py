@@ -532,3 +532,49 @@ def test_predict_yuv420_close_to_rgb8():
     b = m_yuv.predict(frame)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.998
     assert np.abs(a - b).max() / max(np.abs(a).max(), 1e-6) < 0.08
+
+
+def test_serve_cli_sigterm_drains_cleanly(tmp_path):
+    """cp360-serve under a process supervisor: SIGTERM stops accepting,
+    finishes in-flight work, closes the batchers and exits 0."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, CP360_PLATFORM="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cp360_tpu.cli.serve", "--mode", "resnet18",
+         "--port", str(port), "--set", "equi_h=256", "--set", "equi_w=128",
+         "--set", "cube_dim=64", "--set", "compute_dtype=float32",
+         "--set", "serve_max_batch=1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=str(tmp_path))
+    try:
+        deadline = time.monotonic() + 300
+        while time.monotonic() < deadline:
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=5).read()
+                break
+            except Exception:
+                if proc.poll() is not None:
+                    raise AssertionError(f"server died: {proc.stdout.read()}")
+                time.sleep(2)
+        else:
+            raise AssertionError("server never came up")
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)
+    assert proc.returncode == 0, out
+    assert "shut down cleanly" in out
