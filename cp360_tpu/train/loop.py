@@ -444,6 +444,7 @@ def train(
     if metrics_jsonl and jax.process_index() != 0:
         metrics_jsonl = None  # one writer; every process still echoes
     logger = MetricLogger(metrics_jsonl, echo=log_fn)
+    lr_sched = lr_schedule_from_config(cfg)
     from contextlib import ExitStack
 
     with ExitStack() as stack:
@@ -497,6 +498,10 @@ def train(
                         loss_temporal=cfg.l_t * float(metrics["temporal"]),
                         loss_mask=cfg.l_m * float(metrics["mask"]),
                         batch_time_avg=(now - t_sum) / n_since,
+                        # under a schedule the effective lr moves; log the
+                        # one the step just applied (optax count was it-1)
+                        lr=(float(lr_sched(it - 1)) if callable(lr_sched)
+                            else lr_sched),
                     )
                     running = jnp.zeros((), jnp.float32)
                     n_since = 0

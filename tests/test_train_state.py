@@ -371,3 +371,35 @@ def test_lr_schedules_shape_and_validation():
         lr_schedule_from_config(Config(lr_schedule="cosine"))
     with _pytest.raises(ValueError, match="unknown lr_schedule"):
         lr_schedule_from_config(Config(lr_schedule="step", lr_total_steps=5))
+
+
+def test_metrics_log_effective_lr_under_schedule(tmp_path):
+    """The metrics JSONL records the lr each step actually applied — under
+    a cosine schedule it moves; under the reference default it is cfg.lr."""
+    import json
+
+    from cp360_tpu.train.loop import train
+
+    kw = dict(input_size=8, hidden_size=8, flow_h=8, seq_len=5,
+              batch_size=1, epochs=1, summary_freq=1, save_freq=10**9,
+              compute_dtype="float32", checkpoint_path=str(tmp_path / "ck"))
+    rng = np.random.RandomState(0)
+    seq = rng.rand(1, 5, 6, 7, 7, 8).astype(np.float32)
+    flows = (rng.randn(1, 5, 8, 16, 2) * 0.1).astype(np.float32)
+    batches = [(seq, flows)] * 3
+
+    def run(cfg, path):
+        params = init_clstm_params(jax.random.PRNGKey(0), 8, 8)
+        train(cfg, batches, params=params, log_fn=lambda *a, **k: None,
+              metrics_jsonl=str(path))
+        return [json.loads(ln) for ln in open(path) if ln.strip()]
+
+    recs = run(Config(**kw), tmp_path / "const.jsonl")
+    assert [r["lr"] for r in recs if r.get("event") == "train"] == [Config().lr] * 3
+
+    cos = Config(lr_schedule="cosine", lr_warmup_steps=1, lr_total_steps=3, **kw)
+    lrs = [r["lr"] for r in run(cos, tmp_path / "cos.jsonl")
+           if r.get("event") == "train"]
+    assert len(lrs) == 3 and lrs[0] == 0.0  # warmup start
+    assert lrs[1] == pytest.approx(cos.lr)  # peak after warmup
+    assert 0.0 <= lrs[2] < cos.lr  # decaying
