@@ -62,6 +62,11 @@ def main(argv=None):
     except KeyboardInterrupt:
         httpd.shutdown()
     finally:
+        # join in-flight handler threads (ThreadingMixIn block_on_close;
+        # HTTP/1.0 handlers exit after their one response) BEFORE failing
+        # the batchers — otherwise a request that already computed gets its
+        # connection killed mid-write
+        httpd.server_close()
         model._batcher.close()
         if model._temporal_batcher is not None:
             model._temporal_batcher.close()

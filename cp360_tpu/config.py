@@ -204,8 +204,13 @@ def _coerce(field: dataclasses.Field, raw: str):
 def config_from_args(args: argparse.Namespace, default_path: str = "config.yaml") -> Config:
     # an explicitly named --config must exist; the implicit ./config.yaml
     # falls back to the (identical) dataclass defaults when absent, so the
-    # CLIs run from any cwd
+    # CLIs run from any cwd — but say so, in case the user THOUGHT their
+    # customized config.yaml was in this directory
     if args.config is None and not os.path.exists(default_path):
+        import sys
+
+        print(f"config: no ./{default_path} here — using built-in defaults "
+              "(pass --config to load a file)", file=sys.stderr)
         cfg = Config()
     else:
         cfg = load_config(args.config or default_path)

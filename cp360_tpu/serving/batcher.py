@@ -87,8 +87,14 @@ class DynamicBatcher:
         deadline = None if timeout_s is None else time.monotonic() + timeout_s
         # poll the worker's liveness: a submit that enqueues between
         # close()'s drain and the worker exiting would otherwise block
-        # forever (its slot is never served)
-        while not slot.event.wait(0.5):
+        # forever (its slot is never served).  The poll interval respects a
+        # sub-second deadline (don't quantize timeouts up to 0.5 s).
+        while True:
+            wait = 0.5
+            if deadline is not None:
+                wait = max(0.0, min(wait, deadline - time.monotonic()))
+            if slot.event.wait(wait):
+                break
             if self._closed and not self._worker.is_alive():
                 raise RuntimeError("batcher is closed")
             if deadline is not None and time.monotonic() > deadline:

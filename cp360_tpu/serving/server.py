@@ -145,15 +145,23 @@ class SaliencyModel:
             if clstm_params is not None:
                 self.clstm_params = jax.device_put(
                     clstm_params, pm.replicated(self.mesh))
+        self._warming = False  # warmup submits bypass the request timeout
         self._lock = threading.Lock()
         self._sessions: dict = {}  # id -> list of device [6, h, w, C] cubes
         # every transfer/dispatch goes through either the batcher worker or
         # a section holding _device_lock — never two threads at once (the
         # relay wedges on concurrent client-thread transfers)
         self._device_lock = threading.Lock()
+        # with a mesh, device batches must be multiples of the data-axis
+        # size; round the operator's cap DOWN to one (min: one full shard
+        # row) so _bucket never pads a group above the configured limit
+        max_batch = max(1, cfg.serve_max_batch)
+        if self.mesh is not None:
+            d = self.mesh.shape["data"]
+            max_batch = max(d, (max_batch // d) * d)
         self._batcher = DynamicBatcher(
             self._run_stage1_batch,
-            max_batch=max(1, cfg.serve_max_batch),
+            max_batch=max_batch,
             window_ms=cfg.serve_batch_window_ms,
             name="stage1",
         )
@@ -165,14 +173,26 @@ class SaliencyModel:
         if clstm_params is not None:
             self._temporal_batcher = DynamicBatcher(
                 self._run_window_batch,
-                max_batch=max(1, cfg.serve_max_batch),
+                max_batch=max_batch,
                 window_ms=cfg.serve_batch_window_ms,
                 name="temporal",
             )
 
     def warmup(self) -> None:
         """Compile every stage-1 bucket size (and the temporal path) so the
-        first real burst doesn't pay a multi-second device compile."""
+        first real burst doesn't pay a multi-second device compile.
+
+        Warmup submits bypass ``serve_request_timeout_s`` — first compiles
+        legitimately take minutes, and timing one out would crash-loop the
+        server under a process supervisor.
+        """
+        self._warming = True
+        try:
+            self._warmup()
+        finally:
+            self._warming = False
+
+    def _warmup(self) -> None:
         dummy = np.zeros((self.cfg.equi_w, self.cfg.equi_h, 3), np.uint8)
         prep = self._host_prep(dummy)
         b, seen = 1, set()
@@ -276,6 +296,8 @@ class SaliencyModel:
         return [(scores[i], sal_np[i]) for i in range(n)]
 
     def _timeout_s(self):
+        if self._warming:
+            return None  # first compiles take minutes; see warmup()
         t = self.cfg.serve_request_timeout_s
         return t if t > 0 else None
 
@@ -372,15 +394,22 @@ class SaliencyModel:
                 raise KeyError(sid)
             sess["last_used"] = time.monotonic()
         with sess["lock"]:
+            # session state commits only after every fallible step — a
+            # TimeoutError (504) must leave the window untouched so the
+            # client can retry the SAME frame without corrupting the
+            # protocol (double-buffered frame, skipped index)
             scores, _ = self._stage1(frame_u8)
-            sess["frames"].append(scores)
-            sess["frames"] = sess["frames"][-seq_len:]
+            frames = (sess["frames"] + [scores])[-seq_len:]
             idx = sess["count"]
-            sess["count"] += 1
-            if len(sess["frames"]) < seq_len:
+            if len(frames) < seq_len:
+                sal = None
+            else:
+                sal = self._temporal_batcher.submit(
+                    tuple(frames), timeout_s=self._timeout_s())
+            sess["frames"] = frames
+            sess["count"] = idx + 1
+            if sal is None:
                 return idx, None
-            sal = self._temporal_batcher.submit(tuple(sess["frames"]),
-                                                timeout_s=self._timeout_s())
         with self._lock:
             if sid in self._sessions:
                 sess["last_used"] = time.monotonic()
@@ -406,11 +435,20 @@ def make_handler(model: SaliencyModel):
             self.end_headers()
             self.wfile.write(body)
 
+        _KNOWN_ROUTES = frozenset(
+            ["healthz", "metrics", "saliency",
+             "temporal_session", "temporal_frame", "temporal_close"])
+
         def _route_label(self) -> str:
+            # unknown paths collapse to one label: arbitrary request paths
+            # must not grow metric cardinality without bound or inject
+            # unescaped characters into the Prometheus exposition
             p = urlparse(self.path).path.rstrip("/")
             if p.startswith("/temporal/"):
-                return "temporal_" + p.split("/")[2]
-            return p.lstrip("/") or "healthz"
+                label = "temporal_" + p.split("/")[2]
+            else:
+                label = p.lstrip("/") or "healthz"
+            return label if label in self._KNOWN_ROUTES else "other"
 
         def do_GET(self):
             t0 = time.monotonic()

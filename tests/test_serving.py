@@ -578,3 +578,99 @@ def test_serve_cli_sigterm_drains_cleanly(tmp_path):
             proc.communicate(timeout=30)
     assert proc.returncode == 0, out
     assert "shut down cleanly" in out
+
+
+def test_warmup_bypasses_request_timeout():
+    """First compiles take minutes; warmup() must not 504 itself even with
+    an aggressive serve_request_timeout_s (crash-loop under a supervisor)."""
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32",
+                 serve_max_batch=1, serve_request_timeout_s=0.001)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    model = SaliencyModel(params, cfg, arch="resnet18")
+    model.warmup()  # compile certainly exceeds 1 ms; must not raise
+    assert model._warming is False and model._timeout_s() == 0.001
+    model._batcher.close()
+
+
+def test_sub_poll_interval_timeout_honored():
+    """timeout_s below the 0.5 s liveness-poll interval fires on time."""
+    from cp360_tpu.serving.batcher import DynamicBatcher
+
+    release = threading.Event()
+    b = DynamicBatcher(lambda items: (release.wait(20.0), items)[1],
+                       max_batch=1, window_ms=0.0)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError):
+        b.submit("x", timeout_s=0.1)
+    assert time.monotonic() - t0 < 0.45
+    release.set()
+    b.close()
+
+
+def test_dp_max_batch_rounded_to_shard_multiple():
+    """mesh_data that does not divide serve_max_batch: the cap rounds DOWN
+    to a shard multiple so padded buckets never exceed the operator's
+    configured device batch."""
+    if len(jax.devices()) < 3:
+        pytest.skip("needs >=3 devices")
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, compute_dtype="float32",
+                 serve_max_batch=8, mesh_data=3)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    model = SaliencyModel(params, cfg, arch="resnet18")
+    assert model._batcher.max_batch == 6
+    assert model._bucket(1, 6) == 3 and model._bucket(5, 6) == 6
+    assert max(model._bucket(n, 6) for n in range(1, 7)) <= 6
+    model._batcher.close()
+
+
+def test_temporal_504_leaves_session_retryable():
+    """A timed-out window inference must not mutate the session: the client
+    retries the SAME frame and gets the protocol-correct prediction."""
+    from cp360_tpu.models.clstm import init_clstm_params
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=2,
+                 compute_dtype="float32", serve_max_batch=1,
+                 serve_request_timeout_s=1.0)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    model = SaliencyModel(params, cfg, arch="resnet18", clstm_params=clstm)
+    model.warmup()
+
+    rng = np.random.RandomState(5)
+    f0, f1 = [(rng.rand(128, 256, 3) * 255).astype(np.uint8) for _ in range(2)]
+    sid = model.temporal_start()
+    assert model.temporal_push(sid, f0) == (0, None)
+
+    stall = threading.Event()
+    orig = model._temporal_batcher._run_batch
+
+    def wedged(windows):
+        stall.wait(20.0)
+        return orig(windows)
+
+    model._temporal_batcher._run_batch = wedged
+    with pytest.raises(TimeoutError):
+        model.temporal_push(sid, f1)
+    sess = model._sessions[sid]
+    assert sess["count"] == 1 and len(sess["frames"]) == 1  # untouched
+    stall.set()
+    model._temporal_batcher._run_batch = orig
+    idx, sal = model.temporal_push(sid, f1)  # retry the same frame
+    assert idx == 1 and sal is not None and np.isfinite(sal).all()
+
+    # clean-session reference: identical prediction for the same two frames
+    sid2 = model.temporal_start()
+    model.temporal_push(sid2, f0)
+    _, want = model.temporal_push(sid2, f1)
+    np.testing.assert_allclose(sal, want, rtol=1e-6, atol=1e-6)
+    model._batcher.close()
+    model._temporal_batcher.close()
+
+
+def test_metrics_unknown_route_collapses(server):
+    _post(server, "/wp-login.php", b"")
+    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+    conn.request("GET", "/metrics")
+    text = conn.getresponse().read().decode()
+    assert 'cp360_requests_total{route="other",code="404"}' in text
+    assert "wp-login" not in text
