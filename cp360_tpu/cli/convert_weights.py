@@ -18,6 +18,14 @@ The .npz round-trips through ``compat.torch_weights.load_npz`` into the
 nested param dicts every model constructor here accepts; layout mapping
 (OIHW->HWIO etc.) is documented in compat/torch_weights.py.  ``--kind
 auto`` sniffs the state dict's key names.
+
+The reverse direction also works — train or fine-tune here, then hand the
+weights back to the reference repo (torch.load at
+temporal_model/test_temporal.py:147-150 / the backbone loader at
+model/resnet_cubic.py:183-201).  Direction is inferred from the file
+extensions:
+
+    cp360-convert trained_clstm.npz clstm_for_reference.pth
 """
 
 from __future__ import annotations
@@ -43,13 +51,24 @@ def sniff_kind(keys) -> str:
     return "clstm" if len(ks) == 6 else "resnet"
 
 
+def sniff_kind_npz(flat_keys) -> str:
+    """Guess the family from our flat .npz key paths (nested-dict slashes)."""
+    ks = list(flat_keys)
+    if any(k.startswith("gates/") for k in ks):
+        return "clstm"
+    return "resnet"
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="cp360-convert",
-        description="Convert a reference/torchvision .pth checkpoint to .npz",
+        description="Convert checkpoints between the reference's torch .pth "
+                    "and this framework's .npz (direction follows the file "
+                    "extensions)",
     )
-    p.add_argument("input", help="source .pth (torch state dict or module)")
-    p.add_argument("output", help="destination .npz")
+    p.add_argument("input", help="source: .pth (torch state dict/module) or "
+                                 "our .npz")
+    p.add_argument("output", help="destination: .npz (import) or .pth (export)")
     p.add_argument(
         "--kind", choices=["auto", "resnet", "clstm"], default="auto",
         help="checkpoint family (default: sniff from key names)",
@@ -61,6 +80,40 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from cp360_tpu.compat import torch_weights as tw
+
+    exporting = args.input.endswith(".npz")
+    if exporting and args.output.endswith(".npz"):
+        print("cp360-convert: both files are .npz — nothing to convert",
+              file=sys.stderr)
+        return 2
+
+    if exporting:
+        try:
+            params = tw.load_npz(args.input)
+        except FileNotFoundError:
+            print(f"cp360-convert: no such file: {args.input}", file=sys.stderr)
+            return 2
+        kind = args.kind
+        if kind == "auto":
+            kind = sniff_kind_npz(tw.flatten_params(params).keys())
+            print(f"cp360-convert: sniffed kind={kind}", file=sys.stderr)
+        try:
+            if kind == "resnet":
+                sd = tw.export_resnet_state_dict(params, args.arch)
+            else:
+                sd = tw.export_clstm_state_dict(params)
+        except (KeyError, ValueError, TypeError) as e:
+            print(f"cp360-convert: {args.input} does not look like a {kind} "
+                  f"params tree: {e}", file=sys.stderr)
+            return 2
+        import torch
+        import numpy as np
+
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   args.output)
+        print(f"cp360-convert: exported {len(sd)} tensors -> {args.output} "
+              f"(reference-compatible {kind} state dict)", file=sys.stderr)
+        return 0
 
     try:
         sd = tw.load_torch_state_dict(args.input)

@@ -196,3 +196,91 @@ def convert_pth(path_in: str, path_out: str, kind: str, arch: str = "resnet50") 
     else:
         raise ValueError(f"unknown kind {kind!r}")
     save_npz(path_out, params)
+
+
+# ---------------------------------------------------------------------------
+# Export: our nested params -> reference/torchvision torch state dicts.
+#
+# The inverse bridge: train or fine-tune here, then evaluate/deploy with the
+# reference repo (its temporal driver torch.load()s a CLSTM .pth,
+# temporal_model/test_temporal.py:147-150; its backbone loader consumes
+# torchvision-style ResNet dicts, model/resnet_cubic.py:183-201).  Exact
+# inverses of the converters above: convert(export(p)) == p leaf-for-leaf.
+# ---------------------------------------------------------------------------
+
+
+def _torch_float(a: np.ndarray) -> np.ndarray:
+    """Leaf -> a dtype torch.from_numpy accepts (bf16 numpy does not)."""
+    a = np.asarray(a)
+    if a.dtype.kind == "f" and a.dtype != np.float32:
+        a = a.astype(np.float32)
+    return np.ascontiguousarray(a)
+
+
+def _conv_w_inv(w) -> np.ndarray:
+    return _torch_float(np.asarray(w).transpose(3, 2, 0, 1))  # HWIO -> OIHW
+
+
+def _bn_inv(bn: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {
+        f"{prefix}.weight": _torch_float(bn["scale"]),
+        f"{prefix}.bias": _torch_float(bn["bias"]),
+        f"{prefix}.running_mean": _torch_float(bn["mean"]),
+        f"{prefix}.running_var": _torch_float(bn["var"]),
+        # torchvision modules carry this buffer; emit it so strict
+        # load_state_dict into a stock torchvision ResNet works too
+        f"{prefix}.num_batches_tracked": np.asarray(0, dtype=np.int64),
+    }
+
+
+def export_resnet_state_dict(params: Mapping, arch: str = "resnet50") -> Dict[str, np.ndarray]:
+    """Our nested ResNet params -> a torchvision-style flat state dict."""
+    kind, depths = ARCHS[arch]
+    sd = {"conv1.weight": _conv_w_inv(params["conv1"]["w"])}
+    sd.update(_bn_inv(params["bn1"], "bn1"))
+    n_convs = 3 if kind == "bottleneck" else 2
+    for li, depth in enumerate(depths):
+        stage = params[f"layer{li + 1}"]
+        if len(stage) != depth:
+            raise ValueError(
+                f"layer{li + 1} has {len(stage)} blocks, {arch} expects {depth}"
+            )
+        for bi, blk in enumerate(stage):
+            pre = f"layer{li + 1}.{bi}"
+            for ci in range(1, n_convs + 1):
+                sd[f"{pre}.conv{ci}.weight"] = _conv_w_inv(blk[f"conv{ci}"]["w"])
+                sd.update(_bn_inv(blk[f"bn{ci}"], f"{pre}.bn{ci}"))
+            if "downsample" in blk:
+                sd[f"{pre}.downsample.0.weight"] = _conv_w_inv(
+                    blk["downsample"]["conv"]["w"])
+                sd.update(_bn_inv(blk["downsample"]["bn"], f"{pre}.downsample.1"))
+    sd["fc.weight"] = _torch_float(np.asarray(params["fc"]["w"]).T)
+    sd["fc.bias"] = _torch_float(params["fc"]["b"])
+    return sd
+
+
+def export_clstm_state_dict(params: Mapping) -> Dict[str, np.ndarray]:
+    """Our nested CLSTM params -> the reference's Conv1/Conv2/Gates keys
+    (model/clstm.py:28-34), directly torch.load()-able by its temporal
+    driver."""
+    inv = {v: k for k, v in _CLSTM_NAME_MAP.items()}
+    sd = {}
+    for name in ("conv1", "conv2", "gates"):
+        sd[f"{inv[name]}.weight"] = _conv_w_inv(params[name]["w"])
+        sd[f"{inv[name]}.bias"] = _torch_float(params[name]["b"])
+    return sd
+
+
+def export_pth(path_in: str, path_out: str, kind: str, arch: str = "resnet50") -> None:
+    """CLI-friendly one-shot exporter: our .npz -> reference .pth."""
+    import torch
+
+    params = load_npz(path_in)
+    if kind == "resnet":
+        sd = export_resnet_state_dict(params, arch)
+    elif kind == "clstm":
+        sd = export_clstm_state_dict(params)
+    else:
+        raise ValueError(f"unknown kind {kind!r}")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               path_out)

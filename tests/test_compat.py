@@ -149,3 +149,116 @@ def test_convert_pth_unknown_kind(tmp_path):
     torch.save({}, pth)
     with pytest.raises(ValueError, match="unknown kind"):
         convert_pth(pth, str(tmp_path / "x.npz"), kind="nope")
+
+
+def test_export_clstm_exact_inverse(tmp_path):
+    """export_clstm_state_dict is the exact inverse of the converter and
+    emits the reference's own key names (model/clstm.py:28-34)."""
+    from cp360_tpu.compat.torch_weights import (
+        export_clstm_state_dict,
+        export_pth,
+        save_npz,
+    )
+
+    params = jax.device_get(init_clstm_params(jax.random.PRNGKey(3), 6, 10))
+    sd = export_clstm_state_dict(params)
+    assert set(sd.keys()) == {
+        "Conv1.weight", "Conv1.bias", "Conv2.weight", "Conv2.bias",
+        "Gates.weight", "Gates.bias",
+    }
+    back = convert_clstm_state_dict(sd)
+    for name in ("conv1", "conv2", "gates"):
+        np.testing.assert_array_equal(
+            np.asarray(back[name]["w"]), np.asarray(params[name]["w"]))
+        np.testing.assert_array_equal(
+            np.asarray(back[name]["b"]), np.asarray(params[name]["b"]))
+    # torch layout restored: OIHW, gates 4*hidden in and out
+    assert sd["Gates.weight"].shape == (4 * 10, 4 * 10, 3, 3)
+
+    # .pth written by export_pth torch.load()s the way the reference driver
+    # does (temporal_model/test_temporal.py:147-150) and converts back exactly
+    import torch
+
+    npz = str(tmp_path / "c.npz")
+    pth = str(tmp_path / "c.pth")
+    save_npz(npz, params)
+    export_pth(npz, pth, kind="clstm")
+    loaded = torch.load(pth, map_location="cpu", weights_only=False)
+    back2 = convert_clstm_state_dict({k: v.numpy() for k, v in loaded.items()})
+    np.testing.assert_array_equal(
+        np.asarray(back2["gates"]["w"]), np.asarray(params["gates"]["w"]))
+
+
+def test_export_resnet_roundtrip_torchvision_keys():
+    """torch sd -> convert -> export reproduces every original tensor and the
+    torchvision buffer set (strict-loadable into a stock resnet)."""
+    import torch
+
+    from cp360_tpu.compat.torch_weights import (
+        convert_resnet_state_dict,
+        export_resnet_state_dict,
+    )
+
+    g = torch.Generator().manual_seed(0)
+
+    def bn(pre, c):
+        return {
+            f"{pre}.weight": torch.randn(c, generator=g),
+            f"{pre}.bias": torch.randn(c, generator=g),
+            f"{pre}.running_mean": torch.randn(c, generator=g),
+            f"{pre}.running_var": torch.rand(c, generator=g) + 0.5,
+        }
+
+    tsd = {"conv1.weight": torch.randn(64, 3, 7, 7, generator=g), **bn("bn1", 64)}
+    cin = 64
+    for li, cout in enumerate([64, 128, 256, 512]):
+        for bi in range(2):
+            pre = f"layer{li + 1}.{bi}"
+            c1_in = cin if bi == 0 else cout
+            tsd[f"{pre}.conv1.weight"] = torch.randn(cout, c1_in, 3, 3, generator=g)
+            tsd.update(bn(f"{pre}.bn1", cout))
+            tsd[f"{pre}.conv2.weight"] = torch.randn(cout, cout, 3, 3, generator=g)
+            tsd.update(bn(f"{pre}.bn2", cout))
+            if bi == 0 and cin != cout:
+                tsd[f"{pre}.downsample.0.weight"] = torch.randn(
+                    cout, cin, 1, 1, generator=g)
+                tsd.update(bn(f"{pre}.downsample.1", cout))
+        cin = cout
+    tsd["fc.weight"] = torch.randn(1000, 512, generator=g)
+    tsd["fc.bias"] = torch.randn(1000, generator=g)
+
+    nsd = {k: v.numpy() for k, v in tsd.items()}
+    params = convert_resnet_state_dict(nsd, "resnet18")
+    out = export_resnet_state_dict(params, "resnet18")
+    # every original tensor reproduced exactly
+    for k, v in nsd.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v, err_msg=k)
+    # the only extra keys are the BN bookkeeping buffers torchvision expects
+    extra = set(out) - set(nsd)
+    assert extra and all(k.endswith("num_batches_tracked") for k in extra)
+
+
+def test_convert_weights_cli_export(tmp_path):
+    """cp360-convert infers the export direction from a .npz input and
+    sniffs the family from the flat key paths."""
+    import torch
+
+    from cp360_tpu.cli.convert_weights import main as convert_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    params = jax.device_get(init_clstm_params(jax.random.PRNGKey(7), 4, 8))
+    npz = str(tmp_path / "trained.npz")
+    save_npz(npz, params)
+    pth = str(tmp_path / "for_reference.pth")
+    assert convert_main([npz, pth]) == 0  # auto: sniffs clstm, exports
+    loaded = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(loaded.keys()) == {
+        "Conv1.weight", "Conv1.bias", "Conv2.weight", "Conv2.bias",
+        "Gates.weight", "Gates.bias",
+    }
+    back = convert_clstm_state_dict({k: v.numpy() for k, v in loaded.items()})
+    np.testing.assert_array_equal(
+        np.asarray(back["conv1"]["w"]), np.asarray(params["conv1"]["w"]))
+
+    # npz -> npz is a usage error, not a crash
+    assert convert_main([npz, str(tmp_path / "x.npz")]) == 2
