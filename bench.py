@@ -41,6 +41,24 @@ import time
 import numpy as np
 
 
+def pick_result_line(stdout: str):
+    """Newest parseable JSON object line from a worker's stdout, or None.
+
+    The driver contract is ONE final JSON line from the parent; workers
+    print a provisional line per iteration and the watchdog's report can
+    interleave with a concurrent provisional print, tearing a line — walk
+    newest-first and fall back to earlier parseable ones.  A parsed line
+    without a "value" is a provisional that never completed an iteration.
+    """
+    for ln in reversed([ln for ln in stdout.splitlines()
+                        if ln.startswith("{")]):
+        try:
+            return json.loads(ln)
+        except ValueError:
+            continue
+    return None
+
+
 def main():
     if "--worker" in sys.argv:
         _worker_main()
@@ -90,20 +108,12 @@ def main():
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
             rc = "timeout"
-        # walk candidate lines newest-first; tolerate a torn line (the
-        # watchdog's report can interleave with a concurrent provisional
-        # print) by falling back to earlier parseable ones
-        for ln in reversed([ln for ln in stdout.splitlines()
-                            if ln.startswith("{")]):
-            try:
-                parsed = json.loads(ln)
-            except ValueError:
-                continue
+        parsed = pick_result_line(stdout)
+        if parsed is not None:
             last = parsed
             if parsed.get("value"):
-                print(ln)
+                print(json.dumps(parsed))
                 return
-            break
         print(f"bench: attempt {i} produced no result (rc={rc}); retrying",
               file=sys.stderr)
         if i < attempts - 1 and time.time() - t_attempt < 60:
@@ -123,6 +133,10 @@ def main():
 
 
 def _worker_main():
+    if os.environ.get("BENCH_SELFTEST_FAIL"):
+        # tests/test_bench_contract.py: simulate a deterministic attempt
+        # failure (tunnel outage) without touching any backend
+        sys.exit(3)
     batch, times, done = _spawn_measure()
     # level-1 watchdog inside the worker: report partial medians if the
     # steady-state loop wedges after some iterations completed
