@@ -438,21 +438,34 @@ def test_server_504_on_request_timeout():
 
 
 def test_metrics_endpoint(server):
-    # generate one request, then scrape
+    # generate one request, then scrape.  Counters increment in the
+    # handler's finally, AFTER the response bytes are flushed, so a scrape
+    # can race the accounting of any request it just observed (including a
+    # previous scrape of itself) — the contract is that a LATER scrape sees
+    # it; poll briefly for each expected line.
     _post(server, "/saliency", _frame_bytes())
-    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
-    conn.request("GET", "/metrics")
-    resp = conn.getresponse()
-    text = resp.read().decode()
-    assert resp.status == 200 and resp.getheader("Content-Type").startswith("text/plain")
-    assert 'cp360_requests_total{route="saliency",code="200"}' in text
-    assert 'cp360_request_seconds_count{route="saliency"}' in text
-    assert 'cp360_batcher_items_total{batcher="stage1"}' in text
-    assert "cp360_uptime_seconds" in text
-    # the scrape itself is counted on the next scrape
-    conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
-    conn.request("GET", "/metrics")
-    assert 'route="metrics"' in conn.getresponse().read().decode()
+
+    def scrape():
+        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=30)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        return resp.read().decode()
+
+    wanted = [
+        'cp360_requests_total{route="saliency",code="200"}',
+        'cp360_request_seconds_count{route="saliency"}',
+        'cp360_batcher_items_total{batcher="stage1"}',
+        "cp360_uptime_seconds",
+        'route="metrics"',  # the first scrape itself, on a later scrape
+    ]
+    deadline = time.time() + 10.0
+    text = scrape()
+    while missing := [w for w in wanted if w not in text]:
+        assert time.time() < deadline, (missing, text)
+        time.sleep(0.05)
+        text = scrape()
 
 
 def test_data_parallel_serving_matches_single_device():
