@@ -1,0 +1,142 @@
+"""Run the whole bench set on the real chip, safely, in one command.
+
+Encodes this host's measurement rules (CLAUDE.md / RUNBOOK.md) so a
+validation pass after a tunnel outage is one invocation:
+
+  - probe tunnel health first (bounded jax.devices() + a timed 1k matmul
+    sync in a SUBPROCESS — a wedged probe must not wedge the runner);
+  - ONE TPU process at a time (concurrent axon clients wedge each other);
+  - every bench bounded by its own timeout and run in a subprocess;
+  - results are only comparable same-phase: the report records wall-clock
+    start/end per bench so phases can be judged.
+
+Usage: python tools/bench_all.py [--quick] [--out report.json]
+
+Benches (each optional-skipped on failure, the runner always finishes):
+  stage1    bench.py (the driver headline: frames/s, int8 codec default)
+  stage1_exact  bench.py BENCH_CODEC=none (same-phase exact-path pair)
+  stage2    tools/bench_stage2.py (device-resident windows/s)
+  stream    tools/bench_stream.py (fused stage1+2 streaming fps)
+  train     tools/bench_train.py (device-resident windows/s)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = """
+import time, sys
+import jax, jax.numpy as jnp
+t0 = time.time()
+d = jax.devices()
+t_dev = time.time() - t0
+import numpy as np
+x = jnp.asarray(np.random.RandomState(0).rand(1024, 1024), jnp.bfloat16)
+t0 = time.time()
+y = (x @ x).block_until_ready()
+np.asarray(y[:8, :8])  # force a real fetch through the tunnel
+t_mm = time.time() - t0
+print(f"PROBE_OK devices={len(d)} dev_s={t_dev:.1f} mm_s={t_mm:.1f}")
+sys.exit(0 if t_mm < 30 else 4)
+"""
+
+
+def run(cmd, timeout, env=None):
+    t0 = time.time()
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env, cwd=REPO)
+        out, rc = (p.stdout or "") + (p.stderr or ""), p.returncode
+    except subprocess.TimeoutExpired as e:
+        out = ((e.stdout or b"").decode(errors="replace")
+               if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        rc = "timeout"
+    return out, rc, time.time() - t0, t0
+
+
+def probe(timeout=120):
+    out, rc, dur, _ = run([sys.executable, "-c", PROBE], timeout)
+    healthy = rc == 0 and "PROBE_OK" in out
+    line = next((ln for ln in out.splitlines() if "PROBE_OK" in ln), out[-200:])
+    print(f"probe: {'HEALTHY' if healthy else 'UNHEALTHY'} ({dur:.0f}s) {line}",
+          file=sys.stderr)
+    return healthy
+
+
+def last_json_line(out):
+    for ln in reversed(out.splitlines()):
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln)
+            except ValueError:
+                continue
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer attempts / shorter budgets")
+    ap.add_argument("--out", default="/tmp/bench_all.json")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated bench names to skip")
+    args = ap.parse_args()
+    skip = set(filter(None, args.skip.split(",")))
+
+    if not probe():
+        print("tunnel unhealthy — refusing to burn bench budgets; re-run "
+              "when the probe passes", file=sys.stderr)
+        json.dump({"healthy": False, "ts": time.time()},
+                  open(args.out, "w"))
+        return 4
+
+    py = sys.executable
+    attempts = "1" if args.quick else "2"
+    benches = [
+        ("stage1", [py, "bench.py"],
+         dict(BENCH_ATTEMPTS=attempts), 620),
+        ("stage1_exact", [py, "bench.py"],
+         dict(BENCH_ATTEMPTS=attempts, BENCH_CODEC="none"), 620),
+        ("stage2", [py, "tools/bench_stage2.py"], {}, 480),
+        ("stream", [py, "tools/bench_stream.py"], {}, 480),
+        # batch 16 is the measured saturation point (PARITY.md)
+        ("train", [py, "tools/bench_train.py", "16", "8"], {}, 540),
+    ]
+    report = {"healthy": True, "ts": time.time(), "results": {}}
+    for name, cmd, extra_env, budget in benches:
+        if name in skip:
+            continue
+        env = dict(os.environ, **extra_env)
+        print(f"=== {name}: {' '.join(cmd)} (budget {budget}s)",
+              file=sys.stderr)
+        out, rc, dur, t0 = run(cmd, budget, env)
+        parsed = last_json_line(out)
+        report["results"][name] = {
+            "rc": rc, "wall_s": round(dur, 1), "t_start": t0,
+            "json": parsed,
+            "tail": out.strip().splitlines()[-3:],
+        }
+        print(f"=== {name}: rc={rc} {dur:.0f}s -> {parsed}", file=sys.stderr)
+        # re-probe between benches: a wedged phase poisons what follows
+        if not probe():
+            report["degraded_after"] = name
+            print("tunnel degraded mid-run — stopping; the remaining "
+                  "benches would measure the outage, not the code",
+                  file=sys.stderr)
+            break
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({
+        k: ((v.get("json") or {}).get("value")
+            or (v["tail"][-1] if v["tail"] else None))
+        for k, v in report["results"].items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
