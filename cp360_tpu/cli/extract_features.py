@@ -43,7 +43,7 @@ def load_params(weights: str | None, arch: str):
 
 
 def main(argv=None):
-    from cp360_tpu.utils.platform import apply_platform_env
+    from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
     # allow_abbrev=False: an abbreviated --supervise would survive
@@ -72,6 +72,7 @@ def main(argv=None):
     warn_ignored_args(_unknown)
 
     cfg = config_from_args(args)
+    apply_platform(cfg)
     if args.supervise is not None:
         import sys
 

@@ -18,7 +18,7 @@ from cp360_tpu.serving.server import SaliencyModel, serve
 
 
 def main(argv=None):
-    from cp360_tpu.utils.platform import apply_platform_env
+    from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
@@ -34,6 +34,7 @@ def main(argv=None):
 
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
+    apply_platform(cfg)
 
     from cp360_tpu.cli.extract_features import load_params
 

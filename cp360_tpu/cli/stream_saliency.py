@@ -24,7 +24,7 @@ from cp360_tpu.config import add_config_overrides, config_from_args
 
 
 def main(argv=None):
-    from cp360_tpu.utils.platform import apply_platform_env
+    from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
@@ -41,6 +41,7 @@ def main(argv=None):
 
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
+    apply_platform(cfg)
 
     from cp360_tpu.cli.extract_features import load_params
     from cp360_tpu.cli.test_temporal import load_clstm

@@ -33,7 +33,7 @@ def load_clstm(path: str):
 
 
 def main(argv=None):
-    from cp360_tpu.utils.platform import apply_platform_env
+    from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
     parser = argparse.ArgumentParser(description=__doc__)
@@ -49,6 +49,7 @@ def main(argv=None):
 
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
+    apply_platform(cfg)
 
     model_path = args.model
     if not os.path.exists(model_path):

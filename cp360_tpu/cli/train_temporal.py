@@ -23,7 +23,7 @@ from cp360_tpu.train.loop import checkpoint_dir, latest_checkpoint, train
 
 
 def main(argv=None):
-    from cp360_tpu.utils.platform import apply_platform_env
+    from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
     # allow_abbrev=False: an abbreviated --supervise would survive
@@ -49,6 +49,7 @@ def main(argv=None):
 
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
+    apply_platform(cfg)
     if args.supervise is not None:
         import os
         import sys

@@ -36,7 +36,7 @@ class Config:
     test_mode: bool = True
     train_mode: bool = False
     cube_pad: bool = True
-    use_gpu: bool = True  # kept for schema compat; means "use accelerator"
+    use_gpu: bool = True  # reference config.yaml:11; false forces the CPU backend (utils/platform.py)
     opt_flow: bool = True
 
     # Projection (config.yaml:14-18)

@@ -18,3 +18,18 @@ def apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def apply_platform(cfg=None) -> None:
+    """Config-aware platform pick: CP360_PLATFORM wins, else the reference's
+    ``use_gpu`` key (config.yaml:11 — there it gates .cuda() calls; here
+    ``use_gpu: false`` means "stay off the accelerator", i.e. force the CPU
+    backend).  Call after loading the config, before any backend
+    initializes."""
+    if not os.environ.get("CP360_PLATFORM") and cfg is not None \
+            and not getattr(cfg, "use_gpu", True):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        apply_platform_env()

@@ -7,7 +7,8 @@ import pytest
 
 from cp360_tpu.config import Config, add_config_overrides, config_from_args, load_config
 
-REPO_CONFIG = os.path.join(os.path.dirname(__file__), "..", "config.yaml")
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+REPO_CONFIG = os.path.join(REPO, "config.yaml")
 
 
 def test_repo_config_loads():
@@ -118,3 +119,34 @@ def test_missing_default_config_falls_back_to_defaults(tmp_path, monkeypatch):
     args = argparse.Namespace(config=str(tmp_path / "nope.yaml"), set=None)
     with pytest.raises(FileNotFoundError):
         config_from_args(args)
+
+
+def test_use_gpu_false_forces_cpu_backend(tmp_path):
+    """The reference's use_gpu key (config.yaml:11, gates .cuda() there)
+    works here: use_gpu=false picks the CPU backend.  Run in a subprocess
+    with no platform env override — if the wiring were dead the child would
+    try to initialize the accelerator plugin."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("CP360_PLATFORM", "JAX_PLATFORMS")}
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from cp360_tpu.config import Config\n"
+        "from cp360_tpu.utils.platform import apply_platform\n"
+        "apply_platform(Config(use_gpu=False))\n"
+        "import jax\n"
+        "print('backend=' + jax.default_backend())\n" % REPO
+    )
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120, env=env)
+    assert p.returncode == 0, p.stderr
+    assert "backend=cpu" in p.stdout, p.stdout + p.stderr
+
+    # env var still wins over the config key
+    env2 = dict(env, CP360_PLATFORM="cpu")
+    code2 = code.replace("use_gpu=False", "use_gpu=True")
+    p2 = subprocess.run([sys.executable, "-c", code2], capture_output=True,
+                        text=True, timeout=120, env=env2)
+    assert p2.returncode == 0 and "backend=cpu" in p2.stdout, p2.stdout + p2.stderr
