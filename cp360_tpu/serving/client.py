@@ -4,8 +4,9 @@ The wire protocol is documented in serving/server.py; this wraps it with
 encoding, decoding, and the retry semantics the server was designed for:
 a 504 means the device step timed out BEFORE the request mutated any
 state (temporal pushes commit their session slot only after the device
-submit succeeds — server.py), so 504s are safely retryable for both
-routes, as are connection-level failures.
+submit succeeds — server.py), so 504s are safely retryable everywhere;
+connection-level failures are retried only on idempotent routes (a lost
+response to a temporal push may already have committed server-side).
 
     from cp360_tpu.serving.client import SaliencyClient
 
@@ -62,13 +63,18 @@ class SaliencyClient:
     # -- transport ---------------------------------------------------------
 
     def _request(self, method: str, path: str, body: bytes = b"",
-                 retryable: bool = True):
-        """One HTTP exchange with bounded retries on 504/connection errors.
+                 retryable: bool = True, retry_conn: bool = True):
+        """One HTTP exchange with bounded retries.
+
+        ``retryable`` retries 504s (always safe: the server times a step out
+        BEFORE mutating any state).  ``retry_conn`` additionally retries
+        connection-level failures — safe only for idempotent routes: a lost
+        RESPONSE means the server may have processed the request, so
+        stateful routes (temporal frame pushes) pass retry_conn=False.
 
         Returns (status, content_type, payload bytes); raises ServerError
         for non-2xx after retries are exhausted.
         """
-        last_exc: Exception | None = None
         for attempt in range(self.retries + 1):
             if attempt:
                 time.sleep(self.retry_backoff_s * attempt)
@@ -83,9 +89,8 @@ class SaliencyClient:
                     ctype = resp.getheader("Content-Type", "")
                 finally:
                     conn.close()
-            except (ConnectionError, TimeoutError, OSError) as e:
-                last_exc = e
-                if retryable and attempt < self.retries:
+            except (ConnectionError, TimeoutError, OSError):
+                if retryable and retry_conn and attempt < self.retries:
                     continue
                 raise
             if 200 <= status < 300:
@@ -97,7 +102,7 @@ class SaliencyClient:
             except ValueError:
                 message = data.decode(errors="replace")
             raise ServerError(status, message)
-        raise ServerError(599, f"retries exhausted: {last_exc}")
+        raise AssertionError("unreachable")  # every last attempt returns/raises
 
     def _json(self, method: str, path: str, body: bytes = b"", **kw) -> dict:
         _, _, data = self._request(method, path, body, **kw)
@@ -147,7 +152,8 @@ class TemporalSession:
         [h, w] float32 for this frame."""
         out = self._c._json(
             "POST", f"/temporal/frame?session={self.session_id}",
-            _encode(frame))
+            _encode(frame), retry_conn=False)  # a lost response may have
+        # committed the push server-side; only the always-safe 504 retries
         if "saliency" not in out:
             return None
         return np.asarray(out["saliency"], np.float32).reshape(out["shape"])
