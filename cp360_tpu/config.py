@@ -133,6 +133,18 @@ class Config:
     #   dominant training H2D ~G*T/(G+T-1)x at the cost of windows within
     #   a batch being temporally adjacent in groups of G (shuffling is
     #   across segments).  batch_size must be divisible by segment_windows.
+    eval_every_epochs: int = 0  # >0: after every N epochs run validation
+    #   (stage-2 inference + AUC/AUCB/CC/SIM vs label_path GT) on the
+    #   artifacts under eval_dir; logged as "val" records in the metrics
+    #   JSONL.  The reference never evaluates during training — 0 keeps
+    #   that behavior (and the exact reference step sequence)
+    eval_dir: Optional[str] = None  # stage-1 artifact root for validation
+    #   (<eval_dir>/<vid>/cube_feat/NNNNNN.npy — same layout the temporal
+    #   test CLI consumes); required when eval_every_epochs > 0
+    eval_split: str = ""  # restrict validation to a builtin split's video
+    #   ids ("test_25"/"train_60"); "" scores every video under eval_dir
+    eval_batch_windows: int = 16  # window batch for validation inference
+    eval_max_videos: int = 0  # >0: cap videos per validation pass (cost)
 
     @property
     def frame_hw(self):

@@ -532,4 +532,15 @@ def train(
 
             save_checkpoint(os.path.join(ckdir, f"epoch_{epoch:02}.npz"), params)
             ck.save(params, opt_state, it, epoch + 1)
+
+            if cfg.eval_every_epochs > 0 and (epoch + 1) % cfg.eval_every_epochs == 0:
+                # collective gather first (all processes), metrics on one:
+                # validation reads full host params like checkpointing does
+                params_host = _host_state(params)
+                if jax.process_index() == 0:
+                    from cp360_tpu.train.validate import run_validation
+
+                    agg = run_validation(params_host, cfg, log_fn=log_fn)
+                    if agg is not None:
+                        logger.log("val", epoch=epoch, iter=it, **agg)
     return params

@@ -250,3 +250,97 @@ def test_eval_saliency_cli_end_to_end(tmp_path, capsys):
     assert f"AUCB={np.mean(aucbs):.4f}" in line
     assert f"CC={np.mean(ccs):.4f}" in line
     assert f"SIM={np.mean(sims):.4f}" in line
+
+
+# ---------------------------------------------------------------------------
+# In-training validation (train/validate.py + the epoch hook)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gt_root(tmp_path_factory, artifacts):
+    """GT fixation maps matching the artifacts' window-end ids (evaluate_video
+    reads {idx + seq_len - 1:05}.npy; idx enumerates sorted artifacts)."""
+    root = tmp_path_factory.mktemp("gt")
+    rng = np.random.RandomState(7)
+    n_frames = len(video_windows(os.path.join(artifacts, "vidA", "cube_feat")))
+    for vid in ("vidA", "vidB"):
+        gdir = root / (vid + ".mp4")
+        gdir.mkdir()
+        for i in range(n_frames):
+            gt = (rng.rand(10, 20) ** 4).astype(np.float32)
+            np.save(gdir / f"{i:05}.npy", gt)
+    return str(root)
+
+
+def _val_cfg(artifacts, gt_root, **kw):
+    return Config(input_size=C, hidden_size=C, seq_len=3,
+                  compute_dtype="float32", eval_every_epochs=1,
+                  eval_dir=artifacts, label_path=gt_root,
+                  eval_batch_windows=4, **kw)
+
+
+def test_run_validation_aggregates(artifacts, gt_root, clstm_params):
+    from cp360_tpu.train.validate import run_validation, validation_videos
+
+    cfg = _val_cfg(artifacts, gt_root)
+    assert validation_videos(cfg) == ["vidA", "vidB"]
+    agg = run_validation(jax.device_get(clstm_params), cfg,
+                         log_fn=lambda *a: None)
+    assert agg is not None and agg["videos"] == 2
+    assert agg["windows"] == 2 * (N_FRAMES - 1 - 3)
+    for k in ("AUC", "AUCB", "CC", "SIM"):
+        assert np.isfinite(agg[k])
+    assert 0.0 <= agg["AUC"] <= 1.0
+
+    # equals the offline protocol composed by hand (same replayed RNG)
+    rng = np.random.RandomState(0)
+    per_video, counts = {}, {}
+    for vid in ("vidA", "vidB"):
+        fd = os.path.join(artifacts, vid, "cube_feat")
+        preds = infer_video(jax.device_get(clstm_params), fd, 3,
+                            batch_windows=4, compute_dtype=jnp.float32)
+        per_video[vid] = evaluate_video(
+            preds, os.path.join(gt_root, vid + ".mp4"), 3, rng=rng)
+        counts[vid] = len(video_windows(fd))
+    want = aggregate(per_video, counts)
+    for k, v in want.items():
+        np.testing.assert_allclose(agg[k], v, rtol=1e-12)
+
+
+def test_run_validation_caps_and_skips(artifacts, gt_root, clstm_params, tmp_path):
+    from cp360_tpu.train.validate import run_validation, validation_videos
+
+    cfg = _val_cfg(artifacts, gt_root, eval_max_videos=1)
+    assert validation_videos(cfg) == ["vidA"]
+    # a builtin-split filter that matches nothing -> None, not a crash
+    cfg2 = _val_cfg(artifacts, gt_root, eval_split="test_25")
+    assert run_validation(jax.device_get(clstm_params), cfg2,
+                          log_fn=lambda *a: None) is None
+    # no GT -> None
+    cfg3 = _val_cfg(artifacts, str(tmp_path / "nogt"))
+    assert run_validation(jax.device_get(clstm_params), cfg3,
+                          log_fn=lambda *a: None) is None
+
+
+def test_train_logs_val_records(artifacts, gt_root, tmp_path):
+    import json
+
+    from cp360_tpu.train.loop import train
+
+    cfg = _val_cfg(
+        artifacts, gt_root, flow_h=8, batch_size=1, epochs=2,
+        summary_freq=10**9, save_freq=10**9,
+        checkpoint_path=str(tmp_path / "ck"))
+    rng = np.random.RandomState(0)
+    seq = rng.rand(1, 3, 6, 7, 7, C).astype(np.float32)
+    flows = (rng.randn(1, 3, 8, 16, 2) * 0.1).astype(np.float32)
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    path = tmp_path / "metrics.jsonl"
+    train(cfg, [(seq, flows)], params=params,
+          log_fn=lambda *a, **k: None, metrics_jsonl=str(path))
+    recs = [json.loads(ln) for ln in open(path) if ln.strip()]
+    vals = [r for r in recs if r.get("event") == "val"]
+    assert len(vals) == 2  # eval_every_epochs=1, epochs=2
+    assert vals[0]["epoch"] == 0 and vals[1]["epoch"] == 1
+    assert vals[0]["videos"] == 2 and 0.0 <= vals[0]["AUC"] <= 1.0
