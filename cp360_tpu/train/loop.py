@@ -454,6 +454,7 @@ def train(
         stack.enter_context(logger)
         stack.enter_context(maybe_profile(cfg.profile_dir))
         shutdown = stack.enter_context(GracefulShutdown(log_fn))
+        best_val_auc = float("-inf")  # per-run: a resumed job re-earns best.npz
         for epoch in range(start_epoch, cfg.epochs):
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
@@ -542,5 +543,13 @@ def train(
 
                     agg = run_validation(params_host, cfg, log_fn=log_fn)
                     if agg is not None:
-                        logger.log("val", epoch=epoch, iter=it, **agg)
+                        improved = agg["AUC"] > best_val_auc
+                        if improved:
+                            best_val_auc = agg["AUC"]
+                            # the checkpoint a quality-driven deploy wants:
+                            # the best-validation params, not the last ones
+                            save_checkpoint(
+                                os.path.join(ckdir, "best.npz"), params_host)
+                        logger.log("val", epoch=epoch, iter=it,
+                                   best=improved, **agg)
     return params

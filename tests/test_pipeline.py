@@ -344,3 +344,11 @@ def test_train_logs_val_records(artifacts, gt_root, tmp_path):
     assert len(vals) == 2  # eval_every_epochs=1, epochs=2
     assert vals[0]["epoch"] == 0 and vals[1]["epoch"] == 1
     assert vals[0]["videos"] == 2 and 0.0 <= vals[0]["AUC"] <= 1.0
+    # the first pass always improves on -inf and writes best.npz
+    assert vals[0]["best"] is True
+    from cp360_tpu.train.loop import checkpoint_dir
+    bpath = os.path.join(checkpoint_dir(cfg), "best.npz")
+    assert os.path.exists(bpath)
+    from cp360_tpu.compat.torch_weights import load_npz
+    loaded = load_npz(bpath)
+    assert loaded["gates"]["w"].shape == (3, 3, 4 * C, 4 * C)
