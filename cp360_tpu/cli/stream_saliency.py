@@ -35,6 +35,10 @@ def main(argv=None):
     parser.add_argument("--arch", type=str, default="resnet50")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--stage1-batch", type=int, default=8)
+    parser.add_argument("--overlay", action="store_true",
+                        help="also write jet-overlay jpgs under <out>/overlay/"
+                             " ({frame:05}.jpg, same numbering as the .npy "
+                             "maps — the offline test CLI's --overlay look)")
     add_config_overrides(parser)
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
@@ -51,14 +55,54 @@ def main(argv=None):
     clstm = load_clstm(args.clstm)
 
     os.makedirs(args.out, exist_ok=True)
+    ocap = None
+    if args.overlay:
+        import cv2
+        from PIL import Image
+
+        from cp360_tpu.imaging.overlay import overlay as blend
+
+        ocap = cv2.VideoCapture(args.video)
+        odir = os.path.join(args.out, "overlay")
+        os.makedirs(odir, exist_ok=True)
+        opos = 0  # video index of the next ocap.read()
+
     n = 0
-    for frame_id, sal in stream_video_saliency(
-        backbone, clstm, args.video, cfg, arch=args.arch,
-        stage1_batch=args.stage1_batch, max_frames=args.max_frames,
-    ):
-        np.save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
-        n += 1
-    print(f"{args.video}: {n} saliency maps -> {args.out}")
+    try:
+        for frame_id, sal in stream_video_saliency(
+            backbone, clstm, args.video, cfg, arch=args.arch,
+            stage1_batch=args.stage1_batch, max_frames=args.max_frames,
+        ):
+            np.save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
+            if ocap is not None:
+                # map id P is the saliency OF video frame P (stream.py's
+                # offline-compatible numbering); ids ascend, so a second
+                # sequential reader stays in lockstep with the stream
+                frame_bgr = None
+                while opos <= frame_id:
+                    ok, frame_bgr = ocap.read()
+                    opos += 1
+                    if not ok:
+                        frame_bgr = None
+                        break
+                if frame_bgr is not None:
+                    # same look as the offline artifacts: BGR-as-RGB quirk
+                    # + working-size resize (pipelines/extract.py:317-318)
+                    # and the test CLI's sal**2 emphasis
+                    # PIL resize takes (width, height); the reference's
+                    # equi_h key is the WIDTH (config.yaml quirk)
+                    img = Image.fromarray(frame_bgr).convert("RGB").resize(
+                        (cfg.equi_h, cfg.equi_w),
+                        resample=getattr(Image, "LANCZOS",
+                                         Image.Resampling.LANCZOS))
+                    blend(img, np.asarray(sal) ** 2).save(
+                        os.path.join(odir, f"{frame_id:05}.jpg"))
+            n += 1
+    finally:
+        if ocap is not None:
+            ocap.release()
+    print(f"{args.video}: {n} saliency maps -> {args.out}"
+          + (" (+overlays)" if args.overlay else ""))
 
 
 if __name__ == "__main__":

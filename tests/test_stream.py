@@ -132,3 +132,40 @@ def test_missing_video_raises_clearly(tmp_path):
     with pytest.raises(FileNotFoundError, match="cannot open video"):
         extract_video(backbone, cfg, str(tmp_path / "nope.mp4"),
                       str(tmp_path / "o"), output_feature=True, arch="resnet18")
+
+
+def test_stream_cli_overlay(tmp_path):
+    """--overlay writes one jet-blend jpg per map, numbered like the .npy
+    maps, at the working frame size."""
+    from PIL import Image
+
+    from cp360_tpu.cli.stream_saliency import main as stream_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    path = str(tmp_path / "v.mp4")
+    rng = np.random.RandomState(4)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (256, 128))
+    for t in range(8):
+        vw.write((rng.rand(128, 256, 3) * 255).astype(np.uint8))
+    vw.release()
+
+    save_npz(str(tmp_path / "bb.npz"),
+             init_resnet_params(jax.random.PRNGKey(0), "resnet18", num_classes=16))
+    save_npz(str(tmp_path / "cl.npz"), init_clstm_params(jax.random.PRNGKey(1), 16, 16))
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        f.write("equi_h: 256\nequi_w: 128\ncube_dim: 64\nseq_len: 5\n"
+                "compute_dtype: float32\nopt_flow: false\n")
+
+    out = str(tmp_path / "sal")
+    stream_main([
+        "--video", path, "--backbone", str(tmp_path / "bb.npz"),
+        "--clstm", str(tmp_path / "cl.npz"), "--out", out,
+        "--arch", "resnet18", "--stage1-batch", "4", "--config", cfg_path,
+        "--overlay",
+    ])
+    maps = sorted(int(f[:-4]) for f in os.listdir(out) if f.endswith(".npy"))
+    jpgs = sorted(int(f[:-4]) for f in os.listdir(os.path.join(out, "overlay")))
+    assert maps and jpgs == maps
+    img = Image.open(os.path.join(out, "overlay", f"{jpgs[0]:05}.jpg"))
+    assert img.size == (256, 128) and img.mode == "RGB"
