@@ -145,6 +145,9 @@ class Config:
     #   ids ("test_25"/"train_60"); "" scores every video under eval_dir
     eval_batch_windows: int = 16  # window batch for validation inference
     eval_max_videos: int = 0  # >0: cap videos per validation pass (cost)
+    eval_patience: int = 0  # >0: stop training after this many validation
+    #   passes without an AUC improvement (needs eval_every_epochs > 0);
+    #   best.npz always holds the best-validation params
 
     @property
     def frame_hw(self):

@@ -455,6 +455,7 @@ def train(
         stack.enter_context(maybe_profile(cfg.profile_dir))
         shutdown = stack.enter_context(GracefulShutdown(log_fn))
         best_val_auc = float("-inf")  # per-run: a resumed job re-earns best.npz
+        evals_since_best = 0
         for epoch in range(start_epoch, cfg.epochs):
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
@@ -538,6 +539,7 @@ def train(
                 # collective gather first (all processes), metrics on one:
                 # validation reads full host params like checkpointing does
                 params_host = _host_state(params)
+                stop = False
                 if jax.process_index() == 0:
                     from cp360_tpu.train.validate import run_validation
 
@@ -546,10 +548,24 @@ def train(
                         improved = agg["AUC"] > best_val_auc
                         if improved:
                             best_val_auc = agg["AUC"]
+                            evals_since_best = 0
                             # the checkpoint a quality-driven deploy wants:
                             # the best-validation params, not the last ones
                             save_checkpoint(
                                 os.path.join(ckdir, "best.npz"), params_host)
+                        else:
+                            evals_since_best += 1
                         logger.log("val", epoch=epoch, iter=it,
                                    best=improved, **agg)
+                        if cfg.eval_patience > 0 and evals_since_best >= cfg.eval_patience:
+                            stop = True
+                # every process must take the early-stop branch at the same
+                # epoch (the decision lives on process 0 only)
+                if _global_any(stop):
+                    logger.log("train_early_stop", epoch=epoch, iter=it,
+                               best_auc=best_val_auc)
+                    log_fn(f"early stop at epoch {epoch}: no validation AUC "
+                           f"improvement in {cfg.eval_patience} passes "
+                           f"(best {best_val_auc:.4f} -> checkpoint best.npz)")
+                    break
     return params
