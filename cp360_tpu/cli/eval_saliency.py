@@ -69,6 +69,9 @@ def main(argv=None):
     parser.add_argument("--offset", type=int, default=None,
                         help="pred index - GT index (default: auto — 0 for "
                              "stage-2 dirs, 2 for stage-1 cube_feat dirs)")
+    parser.add_argument("--json", type=str, default=None, metavar="PATH",
+                        help="also write the aggregate + per-video means as "
+                             "one JSON file ('-' for stdout)")
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
 
@@ -77,6 +80,7 @@ def main(argv=None):
     rng = np.random.RandomState(args.seed) if args.seed is not None else None
     totals = {"AUC": [], "AUCB": [], "CC": [], "SIM": []}
     weights = []
+    per_video = {}
     for vid in builtin_split(args.split):
         vdir = os.path.join(args.input, vid)
         pred_dir = vdir if os.path.isdir(vdir) else None
@@ -113,7 +117,10 @@ def main(argv=None):
         for k in totals:
             totals[k].append(np.mean(scores[k]))
         weights.append(n)
+        per_video[vid] = {k: float(np.mean(v)) for k, v in scores.items()}
+        per_video[vid]["frames"] = n
 
+    agg = None
     if weights:
         w = np.asarray(weights, dtype=np.float64)
         w = w / w.sum()
@@ -123,6 +130,17 @@ def main(argv=None):
         )
     else:
         print("no videos scored")
+    if args.json:
+        import json as _json
+        import sys as _sys
+
+        doc = {"aggregate": agg, "per_video": per_video,
+               "videos": len(per_video), "split": args.split}
+        if args.json == "-":
+            print(_json.dumps(doc))
+        else:
+            with open(args.json, "w") as f:
+                _json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -383,3 +383,35 @@ def test_train_early_stops_on_patience(artifacts, gt_root, tmp_path):
     assert len(vals) == 3 and len(stops) == 1
     assert vals[0]["best"] is True and not vals[1]["best"] and not vals[2]["best"]
     assert stops[0]["epoch"] == 2
+
+
+def test_eval_saliency_cli_json_output(tmp_path, capsys):
+    """--json writes the aggregate + per-video means machine-readably,
+    matching the printed total line."""
+    import json as _json
+    import re
+
+    from cp360_tpu.cli.eval_saliency import main as eval_main
+    from cp360_tpu.data.dataset import builtin_split as _split
+
+    vid = _split("test_25")[0]
+    rng = np.random.RandomState(0)
+    pred_dir = tmp_path / "preds" / vid
+    gt_dir = tmp_path / "gt" / (vid + ".mp4")
+    pred_dir.mkdir(parents=True)
+    gt_dir.mkdir(parents=True)
+    for idx in (4, 5, 6):
+        np.save(pred_dir / f"{idx:05}.npy", rng.rand(14, 28).astype(np.float32))
+        np.save(gt_dir / f"{idx:05}.npy", (rng.rand(30, 60) ** 4).astype(np.float32))
+
+    out_json = tmp_path / "res.json"
+    eval_main(["--input", str(tmp_path / "preds"), "--gt", str(tmp_path / "gt"),
+               "--seed", "7", "--json", str(out_json)])
+    printed = capsys.readouterr().out
+    m = re.search(r"total result: AUC=([\d.]+)", printed)
+    doc = _json.loads(out_json.read_text())
+    assert doc["videos"] == 1 and doc["split"] == "test_25"
+    np.testing.assert_allclose(doc["aggregate"]["AUC"], float(m.group(1)), atol=5e-5)
+    assert doc["per_video"][vid]["frames"] == 3
+    for k in ("AUC", "AUCB", "CC", "SIM"):
+        assert np.isfinite(doc["per_video"][vid][k])
