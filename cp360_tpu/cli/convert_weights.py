@@ -44,6 +44,11 @@ def sniff_kind(keys) -> str:
     ks = list(keys)
     if any(k.startswith(("Conv1.", "Conv2.", "Gates.")) for k in ks):
         return "clstm"
+    if any(k.startswith("features.") and ".conv." in k for k in ks):
+        return "mobilenet_v2"  # torchvision inverted-residual layout
+    if any(k.startswith("features.") for k in ks) and any(
+            k.startswith("classifier.") for k in ks):
+        return "vgg16"  # torchvision sequential-features layout
     if any(k.startswith(("layer", "fc.")) or "running_mean" in k for k in ks):
         return "resnet"
     # the reference's sequential fallback loader treats any 6-tensor dict
@@ -56,6 +61,10 @@ def sniff_kind_npz(flat_keys) -> str:
     ks = list(flat_keys)
     if any(k.startswith("gates/") for k in ks):
         return "clstm"
+    if any(k.startswith("blocks/") for k in ks):
+        return "mobilenet_v2"
+    if any(k.startswith("camconv/") for k in ks):
+        return "vgg16"
     return "resnet"
 
 
@@ -70,7 +79,9 @@ def main(argv=None) -> int:
                                  "our .npz")
     p.add_argument("output", help="destination: .npz (import) or .pth (export)")
     p.add_argument(
-        "--kind", choices=["auto", "resnet", "clstm"], default="auto",
+        "--kind",
+        choices=["auto", "resnet", "clstm", "vgg16", "mobilenet_v2"],
+        default="auto",
         help="checkpoint family (default: sniff from key names)",
     )
     p.add_argument(
@@ -97,6 +108,11 @@ def main(argv=None) -> int:
         if kind == "auto":
             kind = sniff_kind_npz(tw.flatten_params(params).keys())
             print(f"cp360-convert: sniffed kind={kind}", file=sys.stderr)
+        if kind in ("vgg16", "mobilenet_v2"):
+            print(f"cp360-convert: export to .pth is not supported for "
+                  f"{kind} (the reference repo has no consumer for it; "
+                  f"resnet and clstm export are)", file=sys.stderr)
+            return 2
         try:
             if kind == "resnet":
                 sd = tw.export_resnet_state_dict(params, args.arch)
@@ -127,6 +143,20 @@ def main(argv=None) -> int:
     try:
         if kind == "resnet":
             params = tw.convert_resnet_state_dict(sd, args.arch)
+        elif kind == "mobilenet_v2":
+            from cp360_tpu.models.mobilenet import convert_mobilenet_v2
+
+            params = convert_mobilenet_v2(sd)
+        elif kind == "vgg16":
+            import jax
+
+            from cp360_tpu.models.vgg import (
+                convert_vgg16_bn_features,
+                init_vgg16_params,
+            )
+
+            init = jax.device_get(init_vgg16_params(jax.random.PRNGKey(0)))
+            params = convert_vgg16_bn_features(sd, init)
         else:
             params = tw.convert_clstm_state_dict(sd)
     except (KeyError, ValueError) as e:

@@ -28,7 +28,20 @@ def load_params(weights: str | None, arch: str):
                 load_torch_state_dict,
             )
 
-            return convert_resnet_state_dict(load_torch_state_dict(weights), arch)
+            sd = load_torch_state_dict(weights)
+            if arch == "mobilenet_v2":
+                from cp360_tpu.models.mobilenet import convert_mobilenet_v2
+
+                return convert_mobilenet_v2(sd)
+            if arch == "vgg16":
+                from cp360_tpu.models.vgg import (
+                    convert_vgg16_bn_features,
+                    init_vgg16_params,
+                )
+
+                init = jax.device_get(init_vgg16_params(jax.random.PRNGKey(0)))
+                return convert_vgg16_bn_features(sd, init)
+            return convert_resnet_state_dict(sd, arch)
         from cp360_tpu.compat.torch_weights import load_npz
 
         return load_npz(weights)
@@ -37,6 +50,10 @@ def load_params(weights: str | None, arch: str):
         from cp360_tpu.models.vgg import init_vgg16_params
 
         return init_vgg16_params(jax.random.PRNGKey(0))
+    if arch == "mobilenet_v2":
+        from cp360_tpu.models.mobilenet import init_mobilenet_v2_params
+
+        return init_mobilenet_v2_params(jax.random.PRNGKey(0))
     from cp360_tpu.models.resnet import init_resnet_params
 
     return init_resnet_params(jax.random.PRNGKey(0), arch)

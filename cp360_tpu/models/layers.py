@@ -30,8 +30,14 @@ def conv2d(
     stride: int | Tuple[int, int] = 1,
     padding: Padding = "VALID",
     compute_dtype: Optional[jnp.dtype] = None,
+    groups: int = 1,
 ) -> jax.Array:
-    """2-D convolution, NHWC x HWIO -> NHWC, f32 accumulation."""
+    """2-D convolution, NHWC x HWIO -> NHWC, f32 accumulation.
+
+    ``groups`` maps to feature_group_count (HWIO kernel [kh, kw, cin/groups,
+    cout]); groups == cin with a [kh, kw, 1, cin]-shaped kernel is a
+    depthwise conv (the MobileNet family).
+    """
     if isinstance(stride, int):
         stride = (stride, stride)
     orig_dtype = x.dtype
@@ -50,6 +56,7 @@ def conv2d(
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32 if is_f32 else None,
         precision="highest" if is_f32 else None,
     )

@@ -78,11 +78,17 @@ def stage1_batch_faces(
 
 
 def _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype):
-    """CAM dispatch over backbone families (resnet*/vgg16)."""
+    """CAM dispatch over backbone families (resnet*/vgg16/mobilenet_v2)."""
     if arch == "vgg16":
         from cp360_tpu.models.vgg import vgg16_cam_forward
 
         return vgg16_cam_forward(
+            params, cubes, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
+        )
+    if arch == "mobilenet_v2":
+        from cp360_tpu.models.mobilenet import mobilenet_v2_cam_forward
+
+        return mobilenet_v2_cam_forward(
             params, cubes, use_cube_pad=use_cube_pad, compute_dtype=compute_dtype
         )
     return cam_forward(
