@@ -140,13 +140,14 @@ def test_convert_cli_sniffs_mobilenet(tmp_path, params):
     from cp360_tpu.models.mobilenet import _V2_CFG
 
     def t(a):
-        return torch.from_numpy(np.ascontiguousarray(np.asarray(a).transpose(3, 2, 0, 1)))
+        return torch.from_numpy(np.array(np.asarray(a).transpose(3, 2, 0, 1)))
 
     def bn(pre, b):
-        sd[f"{pre}.weight"] = torch.from_numpy(np.asarray(b["scale"]))
-        sd[f"{pre}.bias"] = torch.from_numpy(np.asarray(b["bias"]))
-        sd[f"{pre}.running_mean"] = torch.from_numpy(np.asarray(b["mean"]))
-        sd[f"{pre}.running_var"] = torch.from_numpy(np.asarray(b["var"]))
+        # .copy(): device_get leaves are read-only buffers; torch warns
+        sd[f"{pre}.weight"] = torch.from_numpy(np.array(b["scale"]))
+        sd[f"{pre}.bias"] = torch.from_numpy(np.array(b["bias"]))
+        sd[f"{pre}.running_mean"] = torch.from_numpy(np.array(b["mean"]))
+        sd[f"{pre}.running_var"] = torch.from_numpy(np.array(b["var"]))
 
     pr = jax.device_get(params)
     sd["features.0.0.weight"] = t(pr["stem"]["w"])
@@ -173,8 +174,8 @@ def test_convert_cli_sniffs_mobilenet(tmp_path, params):
             bi += 1
     sd["features.18.0.weight"] = t(pr["head"]["w"])
     bn("features.18.1", pr["head"]["bn"])
-    sd["classifier.1.weight"] = torch.from_numpy(np.asarray(pr["fc"]["w"]).T.copy())
-    sd["classifier.1.bias"] = torch.from_numpy(np.asarray(pr["fc"]["b"]))
+    sd["classifier.1.weight"] = torch.from_numpy(np.array(np.asarray(pr["fc"]["w"]).T))
+    sd["classifier.1.bias"] = torch.from_numpy(np.array(pr["fc"]["b"]))
 
     assert sniff_kind(sd.keys()) == "mobilenet_v2"
     pth = str(tmp_path / "mnv2.pth")
