@@ -132,7 +132,6 @@ def main(argv=None):
         print("no videos scored")
     if args.json:
         import json as _json
-        import sys as _sys
 
         doc = {"aggregate": agg, "per_video": per_video,
                "videos": len(per_video), "split": args.split}
