@@ -137,3 +137,19 @@ def fold_batch_norm_into_conv(conv_w: jax.Array, bn: dict, eps: float = 1e-5):
     w = np.asarray(conv_w, np.float64) * g[None, None, None, :]
     b = bias - mean * g
     return jnp.asarray(w, conv_w.dtype), jnp.asarray(b, conv_w.dtype)
+
+
+def pad_faces(x: jax.Array, p: int, use_cube_pad: bool = True) -> jax.Array:
+    """Pad a face-flattened batch [N*6, H, W, C] (cube- or zero-pad).
+
+    The reshape-to-[N,6]-pad-reshape-back idiom every cube-padded backbone
+    shares (reference wrapper: model/cube_pad.py:23-42, which instead
+    asserts divisibility and loops over cubes).
+    """
+    if p == 0:
+        return x
+    from cp360_tpu.ops import cube_pad as cp_ops
+
+    x6 = x.reshape(-1, 6, *x.shape[1:])
+    x6 = cp_ops.cube_pad(x6, p) if use_cube_pad else cp_ops.zero_pad(x6, p)
+    return x6.reshape(-1, *x6.shape[2:])

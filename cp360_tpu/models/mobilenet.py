@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cp360_tpu.models import layers
-from cp360_tpu.ops import cube_pad as cp_ops
 
 # (expansion t, out channels c, repeats n, first stride s)
 _V2_CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
@@ -37,9 +36,7 @@ _LAST = 1280
 
 
 def _pad(x: jax.Array, use_cp: bool) -> jax.Array:
-    x6 = x.reshape(-1, 6, *x.shape[1:])
-    x6 = cp_ops.cube_pad(x6, 1) if use_cp else cp_ops.zero_pad(x6, 1)
-    return x6.reshape(-1, *x6.shape[2:])
+    return layers.pad_faces(x, 1, use_cp)
 
 
 def _relu6(x: jax.Array) -> jax.Array:
@@ -163,8 +160,7 @@ def _bn(sd: Mapping[str, np.ndarray], pre: str) -> dict:
             "var": np.asarray(sd[f"{pre}.running_var"])}
 
 
-def convert_mobilenet_v2(sd: Mapping[str, np.ndarray],
-                         num_classes: int = 1000) -> dict:
+def convert_mobilenet_v2(sd: Mapping[str, np.ndarray]) -> dict:
     """torchvision ``mobilenet_v2`` state dict -> our nested params.
 
     torchvision layout: features.0 = stem ConvBNReLU; features.1..17 =

@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from cp360_tpu.models import layers
-from cp360_tpu.ops import cube_pad as cp_ops
 
 ARCHS = {
     # name: (block kind, stage depths)
@@ -45,14 +44,7 @@ ARCHS = {
 _EXPANSION = {"basic": 1, "bottleneck": 4}
 
 
-def _pad(x: jax.Array, p: int, use_cube_pad: bool) -> jax.Array:
-    """Pad a face-flattened batch [N*6, H, W, C] (cube- or zero-pad)."""
-    if p == 0:
-        return x
-    nh = x.shape
-    x6 = x.reshape(-1, 6, *nh[1:])
-    x6 = cp_ops.cube_pad(x6, p) if use_cube_pad else cp_ops.zero_pad(x6, p)
-    return x6.reshape(-1, *x6.shape[2:])
+_pad = layers.pad_faces
 
 
 def _bottleneck(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype) -> jax.Array:

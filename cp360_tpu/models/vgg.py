@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from cp360_tpu.models import layers
-from cp360_tpu.ops import cube_pad as cp_ops
 
 # VGG-16 configuration "D": conv widths with 'M' pool markers.
 _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
@@ -35,9 +34,7 @@ _VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 
 
 def _pad(x: jax.Array, use_cp: bool) -> jax.Array:
-    x6 = x.reshape(-1, 6, *x.shape[1:])
-    x6 = cp_ops.cube_pad(x6, 1) if use_cp else cp_ops.zero_pad(x6, 1)
-    return x6.reshape(-1, *x6.shape[2:])
+    return layers.pad_faces(x, 1, use_cp)
 
 
 def init_vgg16_params(key: jax.Array, num_classes: int = 1000,
