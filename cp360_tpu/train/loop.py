@@ -454,8 +454,26 @@ def train(
         stack.enter_context(logger)
         stack.enter_context(maybe_profile(cfg.profile_dir))
         shutdown = stack.enter_context(GracefulShutdown(log_fn))
-        best_val_auc = float("-inf")  # per-run: a resumed job re-earns best.npz
+        # best.npz is monotone across restarts: the sidecar records the AUC
+        # it was saved at, so a preempted+resumed job (or a new run in the
+        # same checkpoint dir) never overwrites it with worse params.
+        best_val_auc = float("-inf")
         evals_since_best = 0
+        best_meta_path = os.path.join(ckdir, "best_val.json")
+        if (os.path.exists(best_meta_path)
+                and os.path.exists(os.path.join(ckdir, "best.npz"))):
+            import json
+
+            try:
+                with open(best_meta_path) as f:
+                    meta = json.load(f)
+                best_val_auc = float(meta["auc"])
+                evals_since_best = int(meta.get("evals_since_best", 0))
+                if jax.process_index() == 0:
+                    log_fn(f"existing best.npz at AUC {best_val_auc:.4f} "
+                           "(kept unless validation beats it)")
+            except (ValueError, KeyError, OSError):
+                pass  # unreadable sidecar: fall back to re-earning best.npz
         for epoch in range(start_epoch, cfg.epochs):
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
@@ -543,7 +561,17 @@ def train(
                 if jax.process_index() == 0:
                     from cp360_tpu.train.validate import run_validation
 
-                    agg = run_validation(params_host, cfg, log_fn=log_fn)
+                    # validation reads eval_dir artifacts/GT from disk; a
+                    # corrupt file must not kill (or, multi-host, wedge at
+                    # the _global_any below) a run that has trained N epochs
+                    try:
+                        agg = run_validation(params_host, cfg, log_fn=log_fn)
+                    except Exception as e:  # noqa: BLE001 — opt-in side pass
+                        logger.log("val_error", epoch=epoch, iter=it,
+                                   error=f"{type(e).__name__}: {e}")
+                        log_fn(f"validation pass failed (training continues): "
+                               f"{type(e).__name__}: {e}")
+                        agg = None
                     if agg is not None:
                         improved = agg["AUC"] > best_val_auc
                         if improved:
@@ -555,6 +583,12 @@ def train(
                                 os.path.join(ckdir, "best.npz"), params_host)
                         else:
                             evals_since_best += 1
+                        import json
+
+                        with open(best_meta_path, "w") as f:
+                            json.dump({"auc": best_val_auc,
+                                       "evals_since_best": evals_since_best,
+                                       "epoch": epoch, "iter": it}, f)
                         logger.log("val", epoch=epoch, iter=it,
                                    best=improved, **agg)
                         if cfg.eval_patience > 0 and evals_since_best >= cfg.eval_patience:

@@ -385,6 +385,76 @@ def test_train_early_stops_on_patience(artifacts, gt_root, tmp_path):
     assert stops[0]["epoch"] == 2
 
 
+def test_train_keeps_existing_best_across_restarts(artifacts, gt_root, tmp_path):
+    """A run started in a checkpoint dir whose best_val.json records a
+    higher AUC must never overwrite best.npz (preemption/resume and
+    shared-checkpoint-dir safety)."""
+    import json
+
+    from cp360_tpu.train.loop import checkpoint_dir, train
+
+    cfg = _val_cfg(
+        artifacts, gt_root, flow_h=8, batch_size=1, epochs=1,
+        summary_freq=10**9, save_freq=10**9,
+        checkpoint_path=str(tmp_path / "ck"))
+    ckdir = checkpoint_dir(cfg)
+    os.makedirs(ckdir, exist_ok=True)
+    sentinel = b"sentinel-best-params"
+    with open(os.path.join(ckdir, "best.npz"), "wb") as f:
+        f.write(sentinel)
+    with open(os.path.join(ckdir, "best_val.json"), "w") as f:
+        json.dump({"auc": 2.0, "evals_since_best": 0}, f)
+    rng = np.random.RandomState(0)
+    seq = rng.rand(1, 3, 6, 7, 7, C).astype(np.float32)
+    flows = (rng.randn(1, 3, 8, 16, 2) * 0.1).astype(np.float32)
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    path = tmp_path / "metrics.jsonl"
+    train(cfg, [(seq, flows)], params=params,
+          log_fn=lambda *a, **k: None, metrics_jsonl=str(path))
+    recs = [json.loads(ln) for ln in open(path) if ln.strip()]
+    vals = [r for r in recs if r.get("event") == "val"]
+    # a real AUC is <= 1.0, so it can't beat the recorded 2.0
+    assert len(vals) == 1 and vals[0]["best"] is False
+    with open(os.path.join(ckdir, "best.npz"), "rb") as f:
+        assert f.read() == sentinel  # untouched
+    # ...and the sidecar counted the non-improving pass
+    with open(os.path.join(ckdir, "best_val.json")) as f:
+        meta = json.load(f)
+    assert meta["auc"] == 2.0 and meta["evals_since_best"] == 1
+
+
+def test_train_survives_validation_crash(artifacts, gt_root, tmp_path,
+                                         monkeypatch):
+    """A crash inside the opt-in validation pass logs val_error and training
+    continues — a corrupt eval artifact must not kill an N-epoch run."""
+    import json
+
+    import cp360_tpu.train.validate as validate_mod
+    from cp360_tpu.train.loop import train
+
+    def boom(*a, **k):
+        raise RuntimeError("corrupt artifact")
+
+    monkeypatch.setattr(validate_mod, "run_validation", boom)
+    cfg = _val_cfg(
+        artifacts, gt_root, flow_h=8, batch_size=1, epochs=2,
+        summary_freq=10**9, save_freq=10**9,
+        checkpoint_path=str(tmp_path / "ck"))
+    rng = np.random.RandomState(0)
+    seq = rng.rand(1, 3, 6, 7, 7, C).astype(np.float32)
+    flows = (rng.randn(1, 3, 8, 16, 2) * 0.1).astype(np.float32)
+    params = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    path = tmp_path / "metrics.jsonl"
+    train(cfg, [(seq, flows)], params=params,
+          log_fn=lambda *a, **k: None, metrics_jsonl=str(path))
+    recs = [json.loads(ln) for ln in open(path) if ln.strip()]
+    errs = [r for r in recs if r.get("event") == "val_error"]
+    assert len(errs) == 2 and "corrupt artifact" in errs[0]["error"]
+    assert not [r for r in recs if r.get("event") == "val"]
+    # both epochs trained through the failing validation
+    assert [r["epoch"] for r in errs] == [0, 1]
+
+
 def test_eval_saliency_cli_json_output(tmp_path, capsys):
     """--json writes the aggregate + per-video means machine-readably,
     matching the printed total line."""
