@@ -133,7 +133,11 @@ class SaliencyClient:
     # -- stage 2 (stateful temporal sessions) ------------------------------
 
     def temporal_session(self) -> "TemporalSession":
-        sid = self._json("POST", "/temporal/session")["session"]
+        # Not idempotent: a lost RESPONSE may have created a session that
+        # would pin a MAX_SESSIONS slot until its idle TTL, so connection
+        # failures don't retry (504s still do — they commit no state).
+        sid = self._json("POST", "/temporal/session",
+                         retry_conn=False)["session"]
         return TemporalSession(self, sid)
 
 
@@ -160,7 +164,16 @@ class TemporalSession:
 
     def close(self) -> None:
         if not self.closed:
-            self._c._json("POST", f"/temporal/close?session={self.session_id}")
+            try:
+                # Same lost-response hazard as push(): the first close may
+                # have committed, so don't conn-retry, and treat "unknown
+                # session" as already closed.
+                self._c._json("POST",
+                              f"/temporal/close?session={self.session_id}",
+                              retry_conn=False)
+            except ServerError as e:
+                if e.status != 404:
+                    raise
             self.closed = True
 
     def __enter__(self) -> "TemporalSession":

@@ -129,3 +129,21 @@ def test_client_retries_504(monkeypatch):
         stall.set()
         httpd.shutdown()
         model._batcher.close()
+
+
+def test_client_close_is_idempotent_and_swallows_404(temporal_server):
+    """close() twice is a local no-op; closing a session the server no
+    longer knows (first close committed, response lost, caller retried via
+    a fresh handle) treats the 404 as already-closed instead of raising."""
+    from cp360_tpu.serving.client import TemporalSession
+
+    port, _ = temporal_server
+    c = SaliencyClient(port=port)
+    s = c.temporal_session()
+    s.close()
+    assert s.closed
+    s.close()  # second close: no request, no error
+
+    stale = TemporalSession(c, s.session_id)
+    stale.close()  # server 404s; the client swallows it
+    assert stale.closed
