@@ -31,7 +31,9 @@ if os.environ.get("CP360_PLATFORM"):  # same override every CLI honors
 import jax.numpy as jnp
 import numpy as np
 t0 = time.time(); d = jax.devices(); t_dev = time.time() - t0
-x = jnp.asarray(np.random.RandomState(0).rand(512, 512), jnp.bfloat16)
+# per-invocation payload: the transfer tunnel content-dedups repeated
+# buffers, so a fixed seed would stop measuring the link after one run
+x = jnp.asarray(np.random.RandomState(os.getpid() & 0x7FFFFFFF).rand(512, 512), jnp.bfloat16)
 t0 = time.time()
 y = x @ x
 y.copy_to_host_async()
@@ -154,6 +156,9 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-device", action="store_true",
                     help="host-only checks (never touches a backend)")
     args = ap.parse_args(argv)
+    if args.require_device and args.skip_device:
+        ap.error("--require-device and --skip-device are contradictory: "
+                 "the device gate would pass without ever probing")
 
     checks = [
         _check("versions", _versions),

@@ -54,3 +54,9 @@ def test_doctor_require_device_fails_on_dead_probe():
     assert p2.returncode == 0
     s2 = _summary(p2)
     assert s2["ok"] and s2["host_ok"] and s2["device_ok"] is False
+
+
+def test_doctor_rejects_contradictory_flags():
+    # --require-device would "pass" without ever probing under --skip-device
+    p = _run(["--require-device", "--skip-device"])
+    assert p.returncode == 2 and "contradictory" in p.stderr

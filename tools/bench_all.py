@@ -30,13 +30,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PROBE = """
-import time, sys
+import os, time, sys
 import jax, jax.numpy as jnp
 t0 = time.time()
 d = jax.devices()
 t_dev = time.time() - t0
 import numpy as np
-x = jnp.asarray(np.random.RandomState(0).rand(1024, 1024), jnp.bfloat16)
+# distinct payload per invocation: the tunnel content-dedups repeated
+# buffers, so a fixed-seed probe would stop exercising the link after the
+# first run and could pass on a degraded tunnel
+x = jnp.asarray(np.random.RandomState(os.getpid() & 0x7FFFFFFF).rand(1024, 1024), jnp.bfloat16)
 t0 = time.time()
 y = (x @ x).block_until_ready()
 np.asarray(y[:8, :8])  # force a real fetch through the tunnel
