@@ -90,6 +90,17 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    # Conversion is host-side work; never let an incidental jax import (the
+    # vgg16 head init below) wake the accelerator plugin — on this host that
+    # can hang for hours during tunnel outages.  CP360_PLATFORM still wins
+    # if explicitly set.
+    import os
+
+    os.environ.setdefault("CP360_PLATFORM", "cpu")
+    from cp360_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     from cp360_tpu.compat import torch_weights as tw
 
     exporting = args.input.endswith(".npz")
