@@ -27,7 +27,9 @@ def main(argv=None):
     from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
-    parser = argparse.ArgumentParser(description=__doc__)
+    # allow_abbrev=False: an abbreviated --supervise would survive
+    # strip_supervise_flag and nest supervisors recursively in the child
+    parser = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
     parser.add_argument("--video", type=str, required=True)
     parser.add_argument("--backbone", type=str, required=True, help=".npz/.pth backbone weights")
     parser.add_argument("--clstm", type=str, required=True, help=".npz/.pth ConvLSTM weights")
@@ -39,6 +41,18 @@ def main(argv=None):
                         help="also write jet-overlay jpgs under <out>/overlay/"
                              " ({frame:05}.jpg, same numbering as the .npy "
                              "maps — the offline test CLI's --overlay look)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip ahead to the first missing output map: "
+                             "frames that feed only already-written windows "
+                             "skip remap + device work (windows are "
+                             "independent, so the suffix is identical)")
+    parser.add_argument("--supervise", nargs="?", type=float, const=420.0,
+                        default=None, metavar="STALL_S",
+                        help="run under a restart-on-stall supervisor "
+                             "(utils/supervise.py): the transfer relay can "
+                             "wedge a fetch forever; the child is relaunched "
+                             "with --resume, so a restart continues at the "
+                             "first missing map")
     add_config_overrides(parser)
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
@@ -46,6 +60,20 @@ def main(argv=None):
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
     apply_platform(cfg)
+    if args.supervise is not None:
+        import sys
+
+        from cp360_tpu.utils.supervise import strip_supervise_flag, supervise
+
+        child_argv = strip_supervise_flag(
+            list(argv) if argv is not None else sys.argv[1:])
+        if "--resume" not in child_argv:
+            child_argv.append("--resume")  # restarts must not redo the video
+        raise SystemExit(supervise(
+            [sys.executable, "-m", "cp360_tpu.cli.stream_saliency"] + child_argv,
+            watch_paths=[args.out],
+            stall_timeout_s=args.supervise,
+        ))
 
     from cp360_tpu.cli.extract_features import load_params
     from cp360_tpu.cli.test_temporal import load_clstm
@@ -55,6 +83,17 @@ def main(argv=None):
     clstm = load_clstm(args.clstm)
 
     os.makedirs(args.out, exist_ok=True)
+    start_output = 0
+    if args.resume:
+        # first missing map in the contiguous prefix (ids start at
+        # seq_len-1 — the offline numbering); later stragglers from an
+        # interrupted batch are simply overwritten with identical content
+        start_output = cfg.seq_len - 1
+        while os.path.exists(os.path.join(args.out, f"{start_output:05}.npy")):
+            start_output += 1
+        if start_output > cfg.seq_len - 1:
+            print(f"resume: maps before {start_output:05} exist — "
+                  f"continuing there")
     ocap = None
     if args.overlay:
         import cv2
@@ -72,6 +111,7 @@ def main(argv=None):
         for frame_id, sal in stream_video_saliency(
             backbone, clstm, args.video, cfg, arch=args.arch,
             stage1_batch=args.stage1_batch, max_frames=args.max_frames,
+            start_output=start_output,
         ):
             np.save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
             if ocap is not None:

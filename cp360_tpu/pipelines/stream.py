@@ -43,6 +43,7 @@ def stream_video_saliency(
     arch: str = "resnet50",
     stage1_batch: int = 8,
     max_frames: Optional[int] = None,
+    start_output: int = 0,
 ) -> Iterator[Tuple[int, np.ndarray]]:
     """Stream temporal saliency maps for a video.
 
@@ -50,6 +51,14 @@ def stream_video_saliency(
     the CAM cubes never touching disk — or the host: stage-1 scores stay on
     device, a device-side carry of the last seq_len-1 CAM frames bridges
     batches, and only the tiny [2h, 4w] saliency maps come back.
+
+    ``start_output`` resumes mid-video: maps with id < start_output are not
+    produced, and every frame the remaining windows don't touch skips both
+    the cube remap and the device step (decode fast-skips via cap.grab).
+    Per-window normalization + state seeding make windows independent
+    (test_temporal.py:66-79), so the resumed suffix is identical to the
+    same ids from a start_output=0 run — this is what makes a supervised
+    restart of a long streaming job nearly free.
     """
     import cv2
 
@@ -85,7 +94,7 @@ def stream_video_saliency(
 
     return _stream_frames(backbone_params, clstm_params, cfg, arch,
                           stage1_batch, cap, total, seq_len, compute_dtype, wh,
-                          pipe_mesh)
+                          pipe_mesh, start_output=start_output)
 
 
 def _remap_job(frame_u8, cube_dim, yuv):
@@ -93,7 +102,8 @@ def _remap_job(frame_u8, cube_dim, yuv):
 
 
 def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
-                   cap, total, seq_len, compute_dtype, wh, pipe_mesh=None):
+                   cap, total, seq_len, compute_dtype, wh, pipe_mesh=None,
+                   start_output=0):
 
     carry = None  # device [seq_len-1, 6, h, w, C] — trailing CAM frames
     carry_cnts: list = []
@@ -167,14 +177,25 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
     # GIL), overlapping decode + the previous batch's device work — same
     # scheme as pipelines/extract.py
     remap_pool = ThreadPoolExecutor(max_workers=4)
+    # resume: map id m is yielded from the window whose LAST frame counter
+    # is m+2 (ids = cnt-2 below), so its first frame counter is m+3-seq_len
+    # — every earlier frame feeds only already-produced windows.  prev must
+    # hold the video frame processed at that counter (frame index cnt-2,
+    # the 2-frame-lag numbering quirk), so grab() through index skip_to-1.
+    min_cnt = start_output + 3 - seq_len
+    skip_to = max(0, min_cnt - 2)
     try:
         prev = None
         fbatch = []
         for i in range(total):
+            if i < skip_to:
+                if not cap.grab():  # decode-skip: no retrieve, no remap
+                    break
+                continue
             ok, frame = cap.read()
             if not ok:
                 break
-            if i == 0:
+            if i == skip_to:
                 prev = frame
                 continue
             cnt = i + 1  # reference numbering

@@ -169,3 +169,86 @@ def test_stream_cli_overlay(tmp_path):
     assert maps and jpgs == maps
     img = Image.open(os.path.join(out, "overlay", f"{jpgs[0]:05}.jpg"))
     assert img.size == (256, 128) and img.mode == "RGB"
+
+
+def _tiny_video(path, n=14, seed=3, size=(256, 128)):
+    rng = np.random.RandomState(seed)
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, size)
+    base = (rng.rand(size[1], size[0], 3) * 255).astype(np.uint8)
+    for t in range(n):
+        vw.write(np.roll(base, 5 * t, axis=1))
+    vw.release()
+
+
+def test_stream_resume_suffix_identical(tmp_path):
+    """start_output=m yields exactly the ids >= m of a full run, with
+    identical values — per-window normalization + state seeding make the
+    windows independent of where the stream starts."""
+    path = str(tmp_path / "v.mp4")
+    _tiny_video(path)
+
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64, seq_len=5,
+                 compute_dtype="float32", opt_flow=False)
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18",
+                                  num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+
+    full = dict(stream_video_saliency(backbone, clstm, path, cfg,
+                                      arch="resnet18", stage1_batch=4))
+    mid = sorted(full)[len(full) // 2]
+    resumed = dict(stream_video_saliency(backbone, clstm, path, cfg,
+                                         arch="resnet18", stage1_batch=4,
+                                         start_output=mid))
+    assert sorted(resumed) == [k for k in sorted(full) if k >= mid]
+    for k in resumed:
+        np.testing.assert_allclose(resumed[k], full[k], atol=1e-5)
+    # start_output past the video -> empty, not an error
+    assert dict(stream_video_saliency(
+        backbone, clstm, path, cfg, arch="resnet18",
+        start_output=10_000)) == {}
+
+
+def test_stream_cli_resume_continues_at_first_missing(tmp_path, capsys):
+    """--resume recomputes only from the first missing map and reproduces
+    the uninterrupted run's files exactly."""
+    from cp360_tpu.cli.stream_saliency import main as stream_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    path = str(tmp_path / "v.mp4")
+    _tiny_video(path, n=12, seed=4)
+
+    backbone = init_resnet_params(jax.random.PRNGKey(0), "resnet18",
+                                  num_classes=16)
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 16, 16)
+    save_npz(str(tmp_path / "bb.npz"), backbone)
+    save_npz(str(tmp_path / "cl.npz"), clstm)
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        f.write("equi_h: 256\nequi_w: 128\ncube_dim: 64\nseq_len: 5\n"
+                "compute_dtype: float32\nopt_flow: false\n")
+    argv = ["--video", path, "--backbone", str(tmp_path / "bb.npz"),
+            "--clstm", str(tmp_path / "cl.npz"),
+            "--arch", "resnet18", "--stage1-batch", "4", "--config", cfg_path]
+
+    out_full = str(tmp_path / "full")
+    stream_main(argv + ["--out", out_full])
+    maps = sorted(int(f[:-4]) for f in os.listdir(out_full)
+                  if f.endswith(".npy"))
+    assert len(maps) >= 4
+
+    # simulate an interrupted run: keep only the first two maps
+    out_part = str(tmp_path / "part")
+    os.makedirs(out_part)
+    for k in maps[:2]:
+        np.save(os.path.join(out_part, f"{k:05}.npy"),
+                np.load(os.path.join(out_full, f"{k:05}.npy")))
+    capsys.readouterr()
+    stream_main(argv + ["--out", out_part, "--resume"])
+    assert f"{maps[2]:05}" in capsys.readouterr().out  # announced the resume
+    got = sorted(int(f[:-4]) for f in os.listdir(out_part)
+                 if f.endswith(".npy"))
+    assert got == maps
+    for k in maps:
+        np.testing.assert_allclose(
+            np.load(os.path.join(out_part, f"{k:05}.npy")),
+            np.load(os.path.join(out_full, f"{k:05}.npy")), atol=1e-5)
