@@ -687,3 +687,46 @@ def test_metrics_unknown_route_collapses(server):
     text = conn.getresponse().read().decode()
     assert 'cp360_requests_total{route="other",code="404"}' in text
     assert "wp-login" not in text
+
+
+@pytest.mark.parametrize("arch,init", [
+    ("mobilenet_v2", "init_mobilenet_v2_params"),
+    ("vgg16", "init_vgg16_params"),
+])
+def test_serving_other_backbone_families(arch, init):
+    """The server's arch dispatch covers every backbone family the
+    extraction CLI supports — predict compiles and matches a direct call
+    of the same fused stage-1 step outside the batcher."""
+    import importlib
+
+    from cp360_tpu.pipelines.extract import (
+        host_faces_for_upload,
+        stage1_batch_faces,
+    )
+
+    mod = importlib.import_module(
+        f"cp360_tpu.models.{'mobilenet' if arch == 'mobilenet_v2' else 'vgg'}")
+    params = getattr(mod, init)(jax.random.PRNGKey(0), num_classes=16)
+    cfg = Config(equi_h=256, equi_w=128, cube_dim=64,
+                 compute_dtype="float32", serve_max_batch=1)
+    model = SaliencyModel(params, cfg, arch=arch)
+    try:
+        frame = (np.random.RandomState(1).rand(100, 200, 3) * 255).astype(np.uint8)
+        sal = np.asarray(model.predict(frame))
+        assert sal.shape == (4, 8) and np.isfinite(sal).all()
+
+        # the same frame through the library step directly (the server feeds
+        # the frame as-is — its prep is resize(LANCZOS) + cube remap, no
+        # channel swap; see SaliencyModel._host_prep)
+        from cp360_tpu.pipelines.extract import _resize_frame_pil
+
+        frame_u8, _ = _resize_frame_pil(frame, (cfg.equi_h, cfg.equi_w))
+        faces = host_faces_for_upload(frame_u8, cfg.cube_dim, False)
+        import jax.numpy as jnp
+
+        _, want = stage1_batch_faces(
+            params, jnp.asarray(faces[None]), arch=arch,
+            use_cube_pad=cfg.cube_pad, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(sal, np.asarray(want[0]), atol=1e-5)
+    finally:
+        model._batcher.close()
