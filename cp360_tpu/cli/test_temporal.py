@@ -36,13 +36,26 @@ def main(argv=None):
     from cp360_tpu.utils.platform import apply_platform, apply_platform_env
 
     apply_platform_env()
-    parser = argparse.ArgumentParser(description=__doc__)
+    # allow_abbrev=False: an abbreviated --supervise would survive
+    # strip_supervise_flag and nest supervisors recursively in the child
+    parser = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
     parser.add_argument("--model", type=str, required=True, help="CLSTM .npz or .pth")
     parser.add_argument("--dir", type=str, required=True, help="stage-1 artifact root")
     parser.add_argument("--overlay", action="store_true", help="write overlay jpgs")
     parser.add_argument("--batch-windows", type=int, default=64)
     parser.add_argument("--data-parallel", type=int, default=None,
                         help="shard window batches over N devices")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip videos whose maps + metrics were already "
+                             "completed (per-video _done.npz markers); their "
+                             "cached metrics still enter the aggregate")
+    parser.add_argument("--supervise", nargs="?", type=float, const=420.0,
+                        default=None, metavar="STALL_S",
+                        help="run under a restart-on-stall supervisor "
+                             "(utils/supervise.py): the transfer relay can "
+                             "wedge a fetch forever; the child is relaunched "
+                             "with --resume, continuing at the first "
+                             "unfinished video")
     add_config_overrides(parser)
     args, _unknown = parser.parse_known_args(argv)
     from cp360_tpu.config import warn_ignored_args
@@ -50,6 +63,29 @@ def main(argv=None):
     warn_ignored_args(_unknown)
     cfg = config_from_args(args)
     apply_platform(cfg)
+    if args.supervise is not None:
+        import sys
+
+        from cp360_tpu.utils.supervise import strip_supervise_flag, supervise
+
+        if (os.environ.get("CP360_DIST") == "1"
+                and int(os.environ.get("CP360_NUM_PROCESSES", "1") or 1) > 1):
+            raise SystemExit(
+                "--supervise cannot wrap ONE worker of a multi-process job: "
+                "a relaunched worker cannot rejoin the running "
+                "jax.distributed incarnation and every peer would hang in "
+                "its next collective. Supervise the whole launch instead "
+                "(wrap `python -m cp360_tpu.cli.launch ...`).")
+
+        child_argv = strip_supervise_flag(
+            list(argv) if argv is not None else sys.argv[1:])
+        if "--resume" not in child_argv:
+            child_argv.append("--resume")  # restarts must not redo videos
+        raise SystemExit(supervise(
+            [sys.executable, "-m", "cp360_tpu.cli.test_temporal"] + child_argv,
+            watch_paths=[os.path.join(cfg.output_path, "temporal")],
+            stall_timeout_s=args.supervise,
+        ))
 
     model_path = args.model
     if not os.path.exists(model_path):
@@ -150,6 +186,18 @@ def _infer_all(args, cfg, params, mesh, vids, outdir, per_video, frame_counts):
     """Per-video inference/eval over this process's stripe (mutates the
     two dicts in place so a mid-stripe failure keeps what completed)."""
     for i, vid in enumerate(vids):
+        marker = os.path.join(outdir, vid, "_done.npz")
+        if args.resume and os.path.exists(marker):
+            # the marker is written only after maps, overlays and metrics
+            # all completed, so skipping is exact: cached metrics re-enter
+            # the aggregate as if the video had just been processed
+            with np.load(marker) as d:
+                if d["has_gt"]:
+                    per_video[vid] = {
+                        k: d[k] for k in ("AUC", "AUCB", "CC", "SIM")}
+                    frame_counts[vid] = int(d["frames"])
+            print(f"resume: {vid} complete — skipping [{i + 1}/{len(vids)}]")
+            continue
         print(f"Extracting video {vid}[{i + 1}/{len(vids)}]")
         feat_dir = os.path.join(args.dir, vid, "cube_feat")
         import jax.numpy as jnp
@@ -190,6 +238,11 @@ def _infer_all(args, cfg, params, mesh, vids, outdir, per_video, frame_counts):
             frame_counts[vid] = len(video_windows(feat_dir))
             for key in ("AUCB", "AUC", "CC"):
                 print(f"[{vid}]\t{key}:{np.mean(res[key])}")
+            np.savez(marker, has_gt=True, frames=frame_counts[vid],
+                     **{k: np.asarray(res[k])
+                        for k in ("AUC", "AUCB", "CC", "SIM")})
+        else:
+            np.savez(marker, has_gt=False)
 
 
 if __name__ == "__main__":

@@ -485,3 +485,81 @@ def test_eval_saliency_cli_json_output(tmp_path, capsys):
     assert doc["per_video"][vid]["frames"] == 3
     for k in ("AUC", "AUCB", "CC", "SIM"):
         assert np.isfinite(doc["per_video"][vid][k])
+
+
+def test_temporal_cli_resume_skips_completed_videos(tmp_path, monkeypatch,
+                                                    capsys):
+    """--resume on the stage-2 test CLI: videos with a _done.npz marker are
+    served from their cached metrics (a full-skip resume reproduces the
+    aggregate bit-exactly, independent of the RNG stream); removing one
+    video's outputs recomputes only that video."""
+    import shutil
+
+    from cp360_tpu.cli.test_temporal import main as temporal_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    vids = builtin_split("test_25")[:2]
+    arts = tmp_path / "static"
+    labels = tmp_path / "labels"
+    rng = np.random.RandomState(0)
+    for vid in vids:
+        fd = arts / vid / "cube_feat"
+        fd.mkdir(parents=True)
+        gd = labels / f"{vid}.mp4"
+        gd.mkdir(parents=True)
+        for t in range(2, N_FRAMES + 1):
+            np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+            # peaked GT: fixation extraction is GT > mean+2sigma, which a
+            # uniform map never exceeds (no fixations -> nan AUC)
+            gt = rng.rand(120, 240).astype(np.float32) * 0.1
+            gt.ravel()[rng.randint(0, gt.size, size=40)] += 1.0
+            np.save(gd / f"{t:05}.npy", gt)
+    import cp360_tpu
+
+    save_npz(str(tmp_path / "clstm.npz"),
+             jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cp360_tpu.__file__)))
+    argv = ["--model", str(tmp_path / "clstm.npz"), "--dir", str(arts),
+            "--batch-windows", "7",
+            "--config", os.path.join(repo, "config.yaml"),
+            "--set", f"output_path={tmp_path}",
+            "--set", f"label_path={labels}",
+            "--set", f"input_size={C}", "--set", f"hidden_size={C}",
+            "--set", "compute_dtype=float32"]
+    monkeypatch.chdir(tmp_path)
+
+    np.random.seed(0)
+    temporal_main(argv)
+    with open("static_result.txt") as f:
+        r_full = f.read()
+    for vid in vids:
+        assert os.path.exists(tmp_path / "temporal" / vid / "_done.npz")
+    capsys.readouterr()
+
+    # full-skip resume: both videos served from markers, aggregate identical
+    # even under a different RNG stream (nothing is re-evaluated)
+    os.remove("static_result.txt")
+    np.random.seed(123)
+    temporal_main(argv + ["--resume"])
+    assert capsys.readouterr().out.count("— skipping") == 2
+    with open("static_result.txt") as f:
+        assert f.read() == r_full
+
+    # partial resume: one video's outputs removed -> only it recomputes
+    shutil.rmtree(tmp_path / "temporal" / vids[1])
+    np.random.seed(0)
+    temporal_main(argv + ["--resume"])
+    out = capsys.readouterr().out
+    assert out.count("— skipping") == 1 and vids[1] in out
+    assert os.path.exists(tmp_path / "temporal" / vids[1] / "_done.npz")
+    # CC is RNG-free (exact); AUC jitters, AUC-Borji resamples fixations —
+    # same tolerances as the striping test (the RNG stream position shifts
+    # when the first video's evaluation is skipped)
+    cc_f, auc_f, aucb_f = (float(x) for x in
+                           r_full.split("total result:")[1].split(","))
+    with open("static_result.txt") as f:
+        cc_r, auc_r, aucb_r = (float(x) for x in
+                               f.read().split("total result:")[1].split(","))
+    assert abs(cc_r - cc_f) < 1e-5
+    assert abs(auc_r - auc_f) < 1e-3
+    assert abs(aucb_r - aucb_f) < 0.05
