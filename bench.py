@@ -101,12 +101,16 @@ def main():
                 capture_output=True, text=True, timeout=timeout, env=env,
             )
             stdout = proc.stdout or ""
+            stderr = proc.stderr or ""
             rc = proc.returncode
         except subprocess.TimeoutExpired as e:
             # a killed attempt may still have printed provisional medians
             stdout = e.stdout or ""
+            stderr = e.stderr or ""
             if isinstance(stdout, bytes):
                 stdout = stdout.decode(errors="replace")
+            if isinstance(stderr, bytes):
+                stderr = stderr.decode(errors="replace")
             rc = "timeout"
         parsed = pick_result_line(stdout)
         if parsed is not None:
@@ -116,6 +120,8 @@ def main():
                 return
         print(f"bench: attempt {i} produced no result (rc={rc}); retrying",
               file=sys.stderr)
+        for ln in stderr.splitlines()[-12:]:  # surface the worker's failure
+            print(f"bench:   worker: {ln}", file=sys.stderr)
         if i < attempts - 1 and time.time() - t_attempt < 60:
             # a FAST failure is deterministic (backend init UNAVAILABLE
             # during a tunnel outage, import error) rather than a wedge —

@@ -121,9 +121,28 @@ def _flow_backend():
         backends.append("deepflow")  # the reference's backend when present
     if hasattr(cv2, "calcOpticalFlowFarneback"):
         backends.append("farneback")
-    backends.append("horn_schunck (device)")  # always available (flow/variational too)
+    # the two pure-JAX solvers need no host library — always available
+    backends.append("horn_schunck (device)")
+    backends.append("variational (device)")
     ok = len(backends) > 1  # at least one host backend beside the device path
     return ok, f"flow backends: {', '.join(backends)}"
+
+
+def _compile_cache():
+    """Persistent compilation cache sanity (CLAUDE.md: executing a
+    cache-DESERIALIZED executable wedges this TPU plugin forever)."""
+    configured = bool(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+    allow = os.environ.get("CP360_ALLOW_COMPILE_CACHE") == "1"
+    if configured and allow:
+        return False, ("JAX_COMPILATION_CACHE_DIR set AND "
+                       "CP360_ALLOW_COMPILE_CACHE=1 — warm starts will "
+                       "execute cache-deserialized executables, which "
+                       "WEDGES this TPU plugin")
+    if configured:
+        return True, ("JAX_COMPILATION_CACHE_DIR set — CLIs auto-disable "
+                      "it before TPU work (deserialized executables wedge "
+                      "this plugin)")
+    return True, "persistent compile cache not configured (good)"
 
 
 def _device_probe(timeout_s: float):
@@ -167,6 +186,7 @@ def main(argv=None) -> int:
         _check("native loader", _native_loader),
         _check("video codecs", _video_codecs),
         _check("flow backends", _flow_backend),
+        _check("compile cache", _compile_cache),
     ]
     if not args.skip_device:
         checks.append(_check("device", lambda: _device_probe(args.probe_timeout)))

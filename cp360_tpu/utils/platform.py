@@ -12,12 +12,46 @@ from __future__ import annotations
 import os
 
 
+def guard_compile_cache() -> bool:
+    """Disable a configured persistent compilation cache before TPU work.
+
+    The axon TPU plugin deterministically WEDGES when executing a
+    cache-DESERIALIZED executable (reproduced round 3: the jit dispatch
+    returns, the first result fetch never does — see CLAUDE.md), so a
+    populated cache turns every warm start into a silent hang.  Every CLI
+    calls this before the backend initializes; set
+    ``CP360_ALLOW_COMPILE_CACHE=1`` to opt back in on hosts whose plugin
+    executes deserialized programs correctly.  Returns True if a
+    configured cache was disabled.
+    """
+    if os.environ.get("CP360_ALLOW_COMPILE_CACHE") == "1":
+        return False
+    configured = bool(os.environ.pop("JAX_COMPILATION_CACHE_DIR", None))
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        configured = True
+    if configured:
+        jax.config.update("jax_compilation_cache_dir", None)
+        import sys
+
+        print(
+            "cp360: persistent compilation cache DISABLED — executing "
+            "cache-deserialized executables wedges this TPU plugin "
+            "(set CP360_ALLOW_COMPILE_CACHE=1 to keep it)",
+            file=sys.stderr,
+        )
+    return configured
+
+
 def apply_platform_env() -> None:
     plat = os.environ.get("CP360_PLATFORM")
     if plat:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    if plat != "cpu":  # a CPU-forced run never touches the wedge-prone plugin
+        guard_compile_cache()
 
 
 def apply_platform(cfg=None) -> None:

@@ -28,8 +28,28 @@ def test_doctor_host_checks_pass():
     assert s["device_ok"] is None
     names = [c["name"] for c in s["checks"]]
     assert names == ["versions", "config", "data splits", "native loader",
-                     "video codecs", "flow backends"]
+                     "video codecs", "flow backends", "compile cache"]
     assert all(c["ok"] for c in s["checks"])
+
+
+def test_doctor_flags_dangerous_compile_cache_combo():
+    # a configured cache is survivable (CLIs auto-disable it) but fails the
+    # doctor when CP360_ALLOW_COMPILE_CACHE=1 keeps it: warm starts would
+    # execute cache-deserialized executables, which wedge this TPU plugin
+    p = _run(["--skip-device"],
+             env_extra={"JAX_COMPILATION_CACHE_DIR": "/tmp/jc"})
+    s = _summary(p)
+    assert p.returncode == 0 and s["ok"]
+    cc = [c for c in s["checks"] if c["name"] == "compile cache"][0]
+    assert cc["ok"] and "auto-disable" in cc["detail"]
+
+    p2 = _run(["--skip-device"],
+              env_extra={"JAX_COMPILATION_CACHE_DIR": "/tmp/jc",
+                         "CP360_ALLOW_COMPILE_CACHE": "1"})
+    s2 = _summary(p2)
+    assert p2.returncode == 1 and not s2["host_ok"]
+    cc2 = [c for c in s2["checks"] if c["name"] == "compile cache"][0]
+    assert not cc2["ok"] and "WEDGES" in cc2["detail"]
 
 
 def test_doctor_device_probe_cpu():

@@ -1,5 +1,6 @@
 """Observability utilities: JSONL metric logging, step timer, profiler hook."""
 
+import os
 import json
 
 from cp360_tpu.utils.logging import MetricLogger
@@ -49,3 +50,31 @@ def test_maybe_profile_writes_trace(tmp_path):
     with maybe_profile(d):
         (jnp.ones((8, 8)) * 2).block_until_ready()
     assert os.path.isdir(d) and len(os.listdir(d)) > 0
+
+
+def test_guard_compile_cache_disables_and_respects_optin(monkeypatch):
+    """The persistent compile cache wedges this TPU plugin on warm starts
+    (CLAUDE.md); every CLI disables a configured cache unless explicitly
+    allowed."""
+    import jax
+
+    from cp360_tpu.utils.platform import guard_compile_cache
+
+    monkeypatch.delenv("CP360_ALLOW_COMPILE_CACHE", raising=False)
+    monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+    assert guard_compile_cache() is False  # nothing configured -> no-op
+
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/jc")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jc")
+    try:
+        assert guard_compile_cache() is True
+        assert jax.config.jax_compilation_cache_dir is None
+        assert "JAX_COMPILATION_CACHE_DIR" not in os.environ
+
+        monkeypatch.setenv("CP360_ALLOW_COMPILE_CACHE", "1")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/jc")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jc")
+        assert guard_compile_cache() is False  # explicit opt-in keeps it
+        assert jax.config.jax_compilation_cache_dir == "/tmp/jc"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
