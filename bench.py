@@ -139,6 +139,10 @@ def main():
 
 
 def _worker_main():
+    if os.environ.get("CP360_ALLOW_COMPILE_CACHE") != "1":
+        # executing a cache-deserialized executable wedges this plugin
+        # (see the NOTE in _measure) — never inherit a configured cache
+        os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
     if os.environ.get("BENCH_SELFTEST_FAIL"):
         # tests/test_bench_contract.py: simulate a deterministic attempt
         # failure (tunnel outage) without touching any backend

@@ -108,6 +108,14 @@ def main(argv=None) -> int:
         print("cp360-convert: both files are .npz — nothing to convert",
               file=sys.stderr)
         return 2
+    if not exporting and not args.output.endswith(".npz"):
+        # direction follows the extensions: a .pth input means IMPORT, and
+        # np.savez would silently append .npz to the output name — refuse
+        # rather than write a file the user didn't name
+        print(f"cp360-convert: input {args.input} is a torch checkpoint, so "
+              f"the output is our .npz format — name it *.npz "
+              f"(got {args.output})", file=sys.stderr)
+        return 2
 
     if exporting:
         try:

@@ -124,7 +124,9 @@ def _flow_backend():
     # the two pure-JAX solvers need no host library — always available
     backends.append("horn_schunck (device)")
     backends.append("variational (device)")
-    ok = len(backends) > 1  # at least one host backend beside the device path
+    # at least one HOST backend must exist beside the always-present device
+    # solvers (the reference protocol's default flow path runs on host)
+    ok = any(not b.endswith("(device)") for b in backends)
     return ok, f"flow backends: {', '.join(backends)}"
 
 
@@ -147,6 +149,11 @@ def _compile_cache():
 
 def _device_probe(timeout_s: float):
     env = dict(os.environ)
+    if env.get("CP360_ALLOW_COMPILE_CACHE") != "1":
+        # the probe must measure the tunnel, not the compile-cache wedge
+        # (deserialized executables hang this plugin — see _compile_cache);
+        # the product CLIs strip this the same way via guard_compile_cache
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
     t0 = time.time()
     try:
         p = subprocess.run([sys.executable, "-c", _DEVICE_PROBE],

@@ -21,6 +21,7 @@ import os
 import numpy as np
 
 from cp360_tpu.config import add_config_overrides, config_from_args
+from cp360_tpu.utils.atomic import atomic_save
 
 
 def main(argv=None):
@@ -97,9 +98,9 @@ def main(argv=None):
     ocap = None
     if args.overlay:
         import cv2
-        from PIL import Image
 
         from cp360_tpu.imaging.overlay import overlay as blend
+        from cp360_tpu.pipelines.extract import _resize_frame_pil
 
         ocap = cv2.VideoCapture(args.video)
         odir = os.path.join(args.out, "overlay")
@@ -113,7 +114,10 @@ def main(argv=None):
             stage1_batch=args.stage1_batch, max_frames=args.max_frames,
             start_output=start_output,
         ):
-            np.save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
+            # atomic: --resume treats an existing map as complete, so a
+            # supervisor kill mid-write must not leave a truncated map at
+            # the resume boundary (it would never be rewritten)
+            atomic_save(os.path.join(args.out, f"{frame_id:05}.npy"), sal)
             if ocap is not None:
                 # map id P is the saliency OF video frame P (stream.py's
                 # offline-compatible numbering); ids ascend, so a second
@@ -126,15 +130,12 @@ def main(argv=None):
                         frame_bgr = None
                         break
                 if frame_bgr is not None:
-                    # same look as the offline artifacts: BGR-as-RGB quirk
-                    # + working-size resize (pipelines/extract.py:317-318)
-                    # and the test CLI's sal**2 emphasis
-                    # PIL resize takes (width, height); the reference's
-                    # equi_h key is the WIDTH (config.yaml quirk)
-                    img = Image.fromarray(frame_bgr).convert("RGB").resize(
-                        (cfg.equi_h, cfg.equi_w),
-                        resample=getattr(Image, "LANCZOS",
-                                         Image.Resampling.LANCZOS))
+                    # same look as the offline artifacts: the shared
+                    # working-size resize (BGR-as-RGB + equi_h-is-width
+                    # quirks live in _resize_frame_pil with their
+                    # reference citations) and the test CLI's sal**2
+                    _, img = _resize_frame_pil(frame_bgr,
+                                               (cfg.equi_h, cfg.equi_w))
                     blend(img, np.asarray(sal) ** 2).save(
                         os.path.join(odir, f"{frame_id:05}.jpg"))
             n += 1

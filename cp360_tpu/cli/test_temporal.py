@@ -17,6 +17,7 @@ import numpy as np
 from cp360_tpu.config import add_config_overrides, config_from_args
 from cp360_tpu.data.dataset import builtin_split
 from cp360_tpu.pipelines.temporal import aggregate, evaluate_video, infer_video, video_windows
+from cp360_tpu.utils.atomic import atomic_savez
 
 
 def load_clstm(path: str):
@@ -190,14 +191,27 @@ def _infer_all(args, cfg, params, mesh, vids, outdir, per_video, frame_counts):
         if args.resume and os.path.exists(marker):
             # the marker is written only after maps, overlays and metrics
             # all completed, so skipping is exact: cached metrics re-enter
-            # the aggregate as if the video had just been processed
-            with np.load(marker) as d:
-                if d["has_gt"]:
-                    per_video[vid] = {
-                        k: d[k] for k in ("AUC", "AUCB", "CC", "SIM")}
-                    frame_counts[vid] = int(d["frames"])
-            print(f"resume: {vid} complete — skipping [{i + 1}/{len(vids)}]")
-            continue
+            # the aggregate as if the video had just been processed.  A
+            # marker that no longer matches the run's inputs (GT appeared
+            # after a has_gt=False run; --overlay added) or that is
+            # unreadable (pre-atomic-write truncation) falls through to a
+            # recompute instead of silently skipping the new work.
+            d = _load_marker(marker)
+            if d is not None:
+                gt_now = os.path.isdir(
+                    os.path.join(cfg.label_path, vid + ".mp4"))
+                overlay_ok = not args.overlay or d.get("overlay", False)
+                if overlay_ok and (d["has_gt"] or not gt_now):
+                    if d["has_gt"]:
+                        per_video[vid] = {
+                            k: d[k] for k in ("AUC", "AUCB", "CC", "SIM")}
+                        frame_counts[vid] = int(d["frames"])
+                    print(f"resume: {vid} complete — skipping "
+                          f"[{i + 1}/{len(vids)}]")
+                    continue
+                print(f"resume: {vid} marker predates "
+                      f"{'GT' if not d['has_gt'] else '--overlay'} — "
+                      "recomputing")
         print(f"Extracting video {vid}[{i + 1}/{len(vids)}]")
         feat_dir = os.path.join(args.dir, vid, "cube_feat")
         import jax.numpy as jnp
@@ -238,11 +252,23 @@ def _infer_all(args, cfg, params, mesh, vids, outdir, per_video, frame_counts):
             frame_counts[vid] = len(video_windows(feat_dir))
             for key in ("AUCB", "AUC", "CC"):
                 print(f"[{vid}]\t{key}:{np.mean(res[key])}")
-            np.savez(marker, has_gt=True, frames=frame_counts[vid],
-                     **{k: np.asarray(res[k])
-                        for k in ("AUC", "AUCB", "CC", "SIM")})
+            atomic_savez(marker, has_gt=True, overlay=args.overlay,
+                         frames=frame_counts[vid],
+                         **{k: np.asarray(res[k])
+                            for k in ("AUC", "AUCB", "CC", "SIM")})
         else:
-            np.savez(marker, has_gt=False)
+            atomic_savez(marker, has_gt=False, overlay=args.overlay)
+
+
+def _load_marker(marker: str):
+    """Marker contents as a plain dict, or None if unreadable (a truncated
+    file from a pre-atomic-write kill must recompute, not crash --resume)."""
+    try:
+        with np.load(marker) as d:
+            return {k: (bool(d[k]) if k in ("has_gt", "overlay") else d[k])
+                    for k in d.files}
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

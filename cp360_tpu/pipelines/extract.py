@@ -30,6 +30,7 @@ import numpy as np
 
 from cp360_tpu.config import Config
 from cp360_tpu.imaging.overlay import IMAGENET_MEAN, IMAGENET_STD, overlay
+from cp360_tpu.utils.atomic import atomic_save
 from cp360_tpu.models.cam import cam_forward
 from cp360_tpu.ops.resample import cube_to_equi, equi_to_cube
 from cp360_tpu.utils.transfer import async_start, fetch_np
@@ -310,6 +311,14 @@ def _artifacts_exist(cnt, feat_dir, motion_dir, img_dir, out_dir,
     return need_feat or need_motion or need_img
 
 
+def _atomic_pil_save(img, path: str) -> None:
+    """PIL save that lands atomically (same contract as utils/atomic.py —
+    the tmp name keeps the extension so PIL's format inference works)."""
+    tmp = f"{path}.tmp{os.path.splitext(path)[1]}"
+    img.save(tmp)
+    os.replace(tmp, path)
+
+
 def _resize_frame_pil(frame_bgr: np.ndarray, wh):
     """BGR frame -> (uint8 array at (w, h), PIL image), LANCZOS.
 
@@ -432,21 +441,26 @@ def extract_video(
             )
         else:
             scores, sals = fetch_np(*dev_out)  # [B, 6, 7, 7, 1000] NHWC
+        # atomic writes: resume treats an existing artifact as complete, so
+        # a supervisor SIGKILL mid-write must never leave a truncated file
+        # under a final name (utils/atomic.py)
         for k, cnt in enumerate(cnts):
             if output_feature:
-                np.save(
+                atomic_save(
                     os.path.join(feat_dir, f"{cnt:06}.npy"),
                     scores[k].transpose(0, 3, 1, 2),  # reference [6,1000,7,7]
                 )
             if output_motion and flows[k] is not None:
                 flow_k = flows[k].result() if hasattr(flows[k], "result") else flows[k]
-                np.save(
+                atomic_save(
                     os.path.join(motion_dir, f"{cnt:06}.npy"),
                     flow_k[1].astype(np.float32),
                 )
             if output_img:
-                overlay(pil_imgs[k], sals[k]).save(os.path.join(out_dir, f"{cnt:06}.jpg"))
-                pil_imgs[k].save(os.path.join(img_dir, f"{cnt:06}.jpg"))
+                _atomic_pil_save(overlay(pil_imgs[k], sals[k]),
+                                 os.path.join(out_dir, f"{cnt:06}.jpg"))
+                _atomic_pil_save(pil_imgs[k],
+                                 os.path.join(img_dir, f"{cnt:06}.jpg"))
             written += 1
 
     out_dtype = jnp.float16 if cfg.feat_dtype == "float16" else jnp.float32

@@ -1,0 +1,31 @@
+"""Crash-atomic numpy file writes for resumable pipelines.
+
+Every resumable surface here (extraction per frame, stage-2 eval per
+video, streaming per map) treats an EXISTING file as a completed unit of
+work, and the restart-on-stall supervisor (utils/supervise.py) kills
+children with SIGKILL after the grace window — so a write interrupted
+mid-``np.save`` must never leave a truncated file under the final name
+(a later ``--resume`` would either skip the corrupt unit forever or crash
+loading it).  Write to a same-directory temp name, then ``os.replace``
+(atomic on POSIX).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def atomic_save(path: str, arr) -> None:
+    """``np.save(path, arr)`` that lands atomically (path must end .npy)."""
+    tmp = path + ".tmp.npy"  # np.save appends .npy unless already present
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+
+
+def atomic_savez(path: str, **arrays) -> None:
+    """``np.savez(path, **arrays)`` that lands atomically (path ends .npz)."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)

@@ -262,3 +262,24 @@ def test_convert_weights_cli_export(tmp_path):
 
     # npz -> npz is a usage error, not a crash
     assert convert_main([npz, str(tmp_path / "x.npz")]) == 2
+
+
+def test_convert_weights_cli_rejects_pth_to_pth(tmp_path, capsys):
+    """Direction follows the extensions: a .pth input means IMPORT, whose
+    output is .npz — np.savez would silently append .npz to any other name,
+    so the CLI refuses instead of writing a file the user didn't name."""
+    import torch
+
+    from cp360_tpu.cli.convert_weights import main as convert_main
+
+    sd = {"Conv1.weight": torch.randn(4, 2, 3, 3),
+          "Conv1.bias": torch.randn(4),
+          "Conv2.weight": torch.randn(4, 4, 3, 3),
+          "Conv2.bias": torch.randn(4),
+          "Gates.weight": torch.randn(16, 8, 3, 3),
+          "Gates.bias": torch.randn(16)}
+    pth = str(tmp_path / "clstm.pth")
+    torch.save(sd, pth)
+    assert convert_main([pth, str(tmp_path / "out.pth")]) == 2
+    assert not (tmp_path / "out.pth").exists()
+    assert not (tmp_path / "out.pth.npz").exists()

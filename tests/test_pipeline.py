@@ -563,3 +563,70 @@ def test_temporal_cli_resume_skips_completed_videos(tmp_path, monkeypatch,
     assert abs(cc_r - cc_f) < 1e-5
     assert abs(auc_r - auc_f) < 1e-3
     assert abs(aucb_r - aucb_f) < 0.05
+
+
+def test_temporal_cli_resume_marker_invalidation(tmp_path, monkeypatch,
+                                                 capsys):
+    """_done.npz markers are invalidated by changed inputs — GT appearing
+    after a no-GT run, --overlay added — and by corruption (a truncated
+    marker from a pre-atomic-write kill recomputes instead of crashing)."""
+    from cp360_tpu.cli.test_temporal import main as temporal_main
+    from cp360_tpu.compat.torch_weights import save_npz
+
+    vid = builtin_split("test_25")[0]
+    arts = tmp_path / "static"
+    labels = tmp_path / "labels"
+    rng = np.random.RandomState(0)
+    fd = arts / vid / "cube_feat"
+    fd.mkdir(parents=True)
+    gd = labels / f"{vid}.mp4"
+    gd.mkdir(parents=True)
+    for t in range(2, N_FRAMES + 1):
+        np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+        gt = rng.rand(120, 240).astype(np.float32) * 0.1
+        gt.ravel()[rng.randint(0, gt.size, size=40)] += 1.0
+        np.save(gd / f"{t:05}.npy", gt)
+    import cp360_tpu
+
+    save_npz(str(tmp_path / "clstm.npz"),
+             jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(cp360_tpu.__file__)))
+
+    def argv(label_path):
+        return ["--model", str(tmp_path / "clstm.npz"), "--dir", str(arts),
+                "--batch-windows", "7",
+                "--config", os.path.join(repo, "config.yaml"),
+                "--set", f"output_path={tmp_path}",
+                "--set", f"label_path={label_path}",
+                "--set", f"input_size={C}", "--set", f"hidden_size={C}",
+                "--set", "compute_dtype=float32"]
+
+    monkeypatch.chdir(tmp_path)
+    marker = tmp_path / "temporal" / vid / "_done.npz"
+
+    # run without GT -> has_gt=False marker, no aggregate
+    temporal_main(argv(tmp_path / "nolabels"))
+    assert marker.exists() and not os.path.exists("static_result.txt")
+    capsys.readouterr()
+
+    # GT appears -> the marker must NOT satisfy --resume
+    np.random.seed(0)
+    temporal_main(argv(labels) + ["--resume"])
+    out = capsys.readouterr().out
+    assert "predates GT" in out and "— skipping" not in out
+    assert os.path.exists("static_result.txt")
+
+    # overlay added -> recompute; then a matching marker skips
+    temporal_main(argv(labels) + ["--resume", "--overlay"])
+    out = capsys.readouterr().out
+    assert "predates --overlay" in out and "— skipping" not in out
+    temporal_main(argv(labels) + ["--resume", "--overlay"])
+    assert "— skipping" in capsys.readouterr().out
+
+    # corruption (pre-atomic truncation) -> recompute, not a crash
+    with open(marker, "wb") as f:
+        f.write(b"PK\x03\x04 truncated")
+    np.random.seed(0)
+    temporal_main(argv(labels) + ["--resume"])
+    out = capsys.readouterr().out
+    assert "Extracting video" in out and "— skipping" not in out

@@ -78,3 +78,21 @@ def test_guard_compile_cache_disables_and_respects_optin(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == "/tmp/jc"
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_atomic_save_helpers(tmp_path):
+    """atomic_save/atomic_savez land complete files under the final name
+    and leave no temp droppings (resume-by-existence pipelines depend on
+    never seeing a truncated artifact)."""
+    import numpy as np
+
+    from cp360_tpu.utils.atomic import atomic_save, atomic_savez
+
+    p = str(tmp_path / "a.npy")
+    atomic_save(p, np.arange(5))
+    np.testing.assert_array_equal(np.load(p), np.arange(5))
+    z = str(tmp_path / "m.npz")
+    atomic_savez(z, x=np.ones(3), flag=True)
+    with np.load(z) as d:
+        assert bool(d["flag"]) and d["x"].shape == (3,)
+    assert sorted(os.listdir(tmp_path)) == ["a.npy", "m.npz"]

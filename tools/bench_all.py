@@ -63,7 +63,13 @@ def run(cmd, timeout, env=None):
 
 
 def probe(timeout=120):
-    out, rc, dur, _ = run([sys.executable, "-c", PROBE], timeout)
+    env = dict(os.environ)
+    if env.get("CP360_ALLOW_COMPILE_CACHE") != "1":
+        # measure the tunnel, not the compile-cache wedge (deserialized
+        # executables hang this plugin — cli/doctor.py::_compile_cache);
+        # keep in sync with doctor's _device_probe env handling
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    out, rc, dur, _ = run([sys.executable, "-c", PROBE], timeout, env=env)
     healthy = rc == 0 and "PROBE_OK" in out
     line = next((ln for ln in out.splitlines() if "PROBE_OK" in ln), out[-200:])
     print(f"probe: {'HEALTHY' if healthy else 'UNHEALTHY'} ({dur:.0f}s) {line}",
