@@ -152,7 +152,11 @@ def unflatten_params(flat: Mapping[str, np.ndarray]):
 
 
 def save_npz(path: str, params) -> None:
-    np.savez_compressed(path, **flatten_params(params))
+    from cp360_tpu.utils.atomic import atomic_savez_compressed
+
+    if not path.endswith(".npz"):
+        path += ".npz"  # np.savez would append it after the atomic rename
+    atomic_savez_compressed(path, **flatten_params(params))
 
 
 def load_npz(path: str):

@@ -144,10 +144,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def clstm_param_sharding(mesh: Mesh, params: dict) -> dict:
     """Tensor-parallel layout for ConvLSTM params.
 
-    Output channels of every conv shard along ``model``; conv2/gates input
-    channels (which equal conv1's output channels) shard likewise, so the
-    intermediate activations stay sharded on their channel dim and XLA
-    only all-reduces where the math requires.
+    Output channels (and biases) of every conv shard along ``model``;
+    input dims stay REPLICATED, so GSPMD all-gathers the channel-sharded
+    activations in front of each consuming conv.  Simple and exact; at
+    the production 7×7 face geometry the gathered activations are tiny
+    next to the conv FLOPs, which is where the sharding earns its memory
+    and compute split.
     """
     out = {}
     for name in params:

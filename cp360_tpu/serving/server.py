@@ -37,6 +37,15 @@ order).  Device access is mutually exclusive (``_device_lock``) — what
 this host's transfer relay requires (concurrent client-thread transfers
 intermittently wedge it).  Frames are resized to the configured operating
 point on host, exactly like the offline pipeline.
+
+Channel-order parity: the server passes the decoded image's channel order
+through unchanged.  The offline pipeline deliberately feeds cv2's BGR
+bytes labeled RGB (pipelines/extract.py::_resize_frame_pil — a reference
+quirk the published numbers bake in), so BIT-parity with offline
+artifacts requires the client to send frames in that same byte order:
+hand raw cv2 frames to serving/client.py's encoder as-is (no
+cv2.cvtColor).  A client sending true-RGB images gets channel-correct
+(but offline-divergent) predictions.
 """
 
 from __future__ import annotations
@@ -293,7 +302,11 @@ class SaliencyModel:
                 compute_dtype=self._compute_dtype(),
             )
             sal_np = fetch_np(sal)
-        return [(scores[i], sal_np[i]) for i in range(n)]
+            # the per-item score slices dispatch device work too — they
+            # must stay under the lock (the temporal batcher worker may
+            # otherwise drive the relay concurrently, which wedges it)
+            per_item = [(scores[i], sal_np[i]) for i in range(n)]
+        return per_item
 
     def _timeout_s(self):
         if self._warming:

@@ -232,7 +232,11 @@ def save_train_state(path: str, params, opt_state, step: int, epoch: int) -> Non
     if jax.process_index() != 0:
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savez_compressed(path, **flat)
+    from cp360_tpu.utils.atomic import atomic_savez_compressed
+
+    # atomic: a SIGKILL (supervisor grace window, preemption deadline)
+    # mid-write must not tear the ONLY full-resume file
+    atomic_savez_compressed(path, **flat)
 
 
 def load_train_state(path: str, params_template, opt_state_template):
@@ -249,12 +253,19 @@ def load_train_state(path: str, params_template, opt_state_template):
         vals = []
         for i, t in enumerate(leaves):
             v = data[f"{key}/{i}"]
-            t_arr = np.asarray(t)
-            if v.shape != t_arr.shape:
+            # read shape/dtype off the template WITHOUT materializing it:
+            # np.asarray on a process-spanning jax.Array raises (and on a
+            # single-host mesh it would drag every leaf over the link)
+            t_shape = getattr(t, "shape", None)
+            t_dtype = getattr(t, "dtype", None)
+            if t_shape is None or t_dtype is None:  # plain Python scalar leaf
+                t_np = np.asarray(t)
+                t_shape, t_dtype = t_np.shape, t_np.dtype
+            if v.shape != tuple(t_shape):
                 raise ValueError(
-                    f"{key} leaf {i}: checkpoint shape {v.shape} != template {t_arr.shape}"
+                    f"{key} leaf {i}: checkpoint shape {v.shape} != template {tuple(t_shape)}"
                 )
-            vals.append(np.asarray(v, t_arr.dtype))
+            vals.append(np.asarray(v, t_dtype))
         return jax.tree.unflatten(treedef, vals)
 
     params = restore("params", params_template)
@@ -284,13 +295,34 @@ def save_checkpoint(path: str, params) -> None:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
-    """Resume support (the reference's is dead code, train_temporal.py:244-249)."""
+    """Newest weight snapshot by TRAINING ORDER, for weights-only resume
+    (the reference's resume is dead code, train_temporal.py:244-249).
+
+    CLSTM_{epoch}_{iter}.npz and epoch_{n}.npz (which closes epoch n, so
+    it outranks every CLSTM_n_*) order numerically — lexicographic order
+    would rank 'epoch_02' above 'CLSTM_03_015000' ('C' < 'e').  best.npz
+    is the best-VALIDATION snapshot, not the latest, and never returned
+    here; unrecognized .npz names only win when no structured snapshot
+    exists.
+    """
     if not os.path.isdir(ckpt_dir):
         return None
-    cands = sorted(
+    cands = [
         f for f in os.listdir(ckpt_dir)
         if f.endswith(".npz") and not f.startswith("train_state")
-    )
+        and f != "best.npz"
+    ]
+
+    def order(f):
+        m = re.match(r"CLSTM_(\d+)_(\d+)\.npz$", f)
+        if m:
+            return (1, int(m.group(1)), float(m.group(2)))
+        m = re.match(r"epoch_(\d+)\.npz$", f)
+        if m:
+            return (1, int(m.group(1)), float("inf"))
+        return (0, -1, -1.0)
+
+    cands.sort(key=lambda f: (order(f), f))
     return os.path.join(ckpt_dir, cands[-1]) if cands else None
 
 
@@ -423,7 +455,14 @@ def train(
     restored = None
     if resume_state == "latest":
         restored = ck.restore(params, opt_state)
-    elif resume_state and os.path.exists(resume_state):
+    elif resume_state:
+        # an explicit path that is missing must FAIL, not silently retrain
+        # from scratch (and then overwrite the directory it was meant to
+        # resume from at the next save_freq)
+        if not os.path.exists(resume_state):
+            raise FileNotFoundError(
+                f"resume_state={resume_state!r} does not exist "
+                "(use resume_state='latest' for best-effort resume)")
         restored = load_train_state(resume_state, params, opt_state)
     if restored is not None:
         opt_template = opt_state

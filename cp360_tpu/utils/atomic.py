@@ -29,3 +29,12 @@ def atomic_savez(path: str, **arrays) -> None:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
+
+
+def atomic_savez_compressed(path: str, **arrays) -> None:
+    """Atomic ``np.savez_compressed`` — checkpoints especially must never
+    be torn: overwriting train_state_latest.npz in place would destroy the
+    previous good state BEFORE the new one is durable."""
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)

@@ -403,3 +403,57 @@ def test_metrics_log_effective_lr_under_schedule(tmp_path):
     assert len(lrs) == 3 and lrs[0] == 0.0  # warmup start
     assert lrs[1] == pytest.approx(cos.lr)  # peak after warmup
     assert 0.0 <= lrs[2] < cos.lr  # decaying
+
+
+def test_latest_checkpoint_orders_numerically(tmp_path):
+    """latest_checkpoint must return the newest snapshot by TRAINING order:
+    epoch_02 closes epoch 2 (after CLSTM_02_*), CLSTM_03_* outranks both
+    (lexicographically 'C' < 'b' < 'e' would invert this), and best.npz
+    (best VALIDATION, not latest) is never returned."""
+    from cp360_tpu.train.loop import latest_checkpoint
+
+    d = str(tmp_path)
+    for name in ("CLSTM_02_015000.npz", "epoch_02.npz", "best.npz"):
+        np.savez(os.path.join(d, name), x=np.zeros(1))
+    assert os.path.basename(latest_checkpoint(d)) == "epoch_02.npz"
+    np.savez(os.path.join(d, "CLSTM_03_000500.npz"), x=np.zeros(1))
+    assert os.path.basename(latest_checkpoint(d)) == "CLSTM_03_000500.npz"
+    # iter order within an epoch is numeric, not lexicographic
+    np.savez(os.path.join(d, "CLSTM_03_1000000.npz"), x=np.zeros(1))
+    assert os.path.basename(latest_checkpoint(d)) == "CLSTM_03_1000000.npz"
+    # unknown names only win when no structured snapshot exists
+    e = str(tmp_path / "only_unknown")
+    os.makedirs(e)
+    np.savez(os.path.join(e, "converted.npz"), x=np.zeros(1))
+    assert os.path.basename(latest_checkpoint(e)) == "converted.npz"
+
+
+def test_load_train_state_accepts_abstract_templates(tmp_path):
+    """Templates are consulted for shape/dtype only — never materialized
+    (np.asarray on a process-spanning jax.Array raises, and on a mesh it
+    would drag every leaf over the link). jax.ShapeDtypeStruct templates
+    prove no materialization happens."""
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16)
+    opt = make_optimizer(cfg)
+    p = init_clstm_params(jax.random.PRNGKey(0), C, C)
+    o = opt.init(p)
+    ck = str(tmp_path / "state.npz")
+    save_train_state(ck, p, o, step=3, epoch=1)
+
+    abstract = jax.tree.map(
+        lambda t: jax.ShapeDtypeStruct(np.shape(t), t.dtype), (p, o))
+    p_r, o_r, it, ep = load_train_state(ck, abstract[0], abstract[1])
+    assert (it, ep) == (3, 1)
+    np.testing.assert_array_equal(np.asarray(p_r["gates"]["w"]),
+                                  np.asarray(p["gates"]["w"]))
+
+
+def test_train_explicit_missing_resume_path_raises(tmp_path):
+    """An explicit resume_state path that doesn't exist must fail loudly,
+    not silently retrain from scratch over the checkpoint directory."""
+    from cp360_tpu.train.loop import train
+
+    cfg = Config(input_size=C, hidden_size=C, flow_h=16,
+                 checkpoint_path=str(tmp_path), epochs=1)
+    with pytest.raises(FileNotFoundError, match="resume_state"):
+        train(cfg, loader=[], resume_state=str(tmp_path / "nope.npz"))
