@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 import numpy as np
 
@@ -95,7 +96,9 @@ def main(argv=None):
         offset = args.offset if args.offset is not None else default_offset(pred_dir)
         scores = {k: [] for k in totals}
         for fname in sorted(os.listdir(pred_dir)):
-            if not fname.endswith(".npy"):
+            # strict NNNN.npy only: stray files (crashed-writer leftovers,
+            # _done markers) must not parse as prediction frames
+            if not re.match(r"\d+\.npy$", fname):
                 continue
             gt_path = os.path.join(gt_dir, gt_name_for(fname, offset))
             if not os.path.exists(gt_path):

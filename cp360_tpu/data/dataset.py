@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import queue
+import re
 import threading
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -58,8 +59,12 @@ class WindowDataset:
             feat_dir = os.path.join(feat_root, vid, "cube_feat")
             if not os.path.isdir(feat_dir):
                 continue
+            # strict NNNN.npy only — stray files (a crashed writer's
+            # leftovers) must not become duplicate/phantom window starts
             frames = sorted(
-                int(f.split(".")[0]) for f in os.listdir(feat_dir) if f.endswith(".npy")
+                int(m.group(1)) for m in
+                (re.match(r"(\d+)\.npy$", f) for f in os.listdir(feat_dir))
+                if m
             )
             if not frames:
                 continue

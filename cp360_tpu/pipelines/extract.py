@@ -237,7 +237,8 @@ def stage1_batch_faces_yuv(
     return scores.astype(out_dtype), sal
 
 
-@partial(jax.jit, static_argnames=("cube_dim", "arch", "use_cube_pad", "compute_dtype"))
+@partial(jax.jit, static_argnames=("cube_dim", "arch", "use_cube_pad",
+                                   "compute_dtype", "out_dtype"))
 def stage1_batch(
     params: dict,
     frames_u8: jax.Array,
@@ -245,6 +246,7 @@ def stage1_batch(
     arch: str = "resnet50",
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
+    out_dtype=jnp.float32,
 ):
     """Fused device step for a BATCH of frames: uint8 equi -> (CAM, saliency).
 
@@ -254,7 +256,8 @@ def stage1_batch(
         reference's host normalization, dataset_feat_extractor.py:131,142).
 
     Returns:
-      scores: [N, 6, h, w, 1000] CAM score cubes (f32, NHWC).
+      scores: [N, 6, h, w, 1000] CAM score cubes (``out_dtype``, NHWC —
+              honors cfg.feat_dtype like the host-remap paths).
       sal:    [N, 2h, 4w] equi saliency (channel max of projected scores,
               squared — dataset_feat_extractor.py:173-176).
 
@@ -267,10 +270,9 @@ def stage1_batch(
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     cubes = (cubes - mean) / std
     scores, _ = _backbone_cam(params, cubes, arch, use_cube_pad, compute_dtype)
-    n, six, h, w, k = scores.shape
     equi_scores = cube_to_equi(scores)  # [N, 2h, 4w, 1000]
     sal = jnp.max(equi_scores, axis=-1) ** 2
-    return scores, sal
+    return scores.astype(out_dtype), sal
 
 
 def stage1_step(
@@ -312,10 +314,13 @@ def _artifacts_exist(cnt, feat_dir, motion_dir, img_dir, out_dir,
 
 
 def _atomic_pil_save(img, path: str) -> None:
-    """PIL save that lands atomically (same contract as utils/atomic.py —
-    the tmp name keeps the extension so PIL's format inference works)."""
-    tmp = f"{path}.tmp{os.path.splitext(path)[1]}"
-    img.save(tmp)
+    """PIL save that lands atomically (same contract as utils/atomic.py:
+    the tmp name carries NO image extension so listers never see it —
+    the format is passed explicitly instead of inferred)."""
+    tmp = path + ".tmp"
+    fmt = {"jpg": "JPEG", "jpeg": "JPEG", "png": "PNG"}[
+        path.rsplit(".", 1)[1].lower()]
+    img.save(tmp, format=fmt)
     os.replace(tmp, path)
 
 
@@ -402,23 +407,34 @@ def extract_video(
     for d in (out_dir, feat_dir, motion_dir, img_dir):
         os.makedirs(d, exist_ok=True)
 
-    if mesh is not None:
-        from cp360_tpu.parallel.mesh import data_sharding, replicated
+    try:
+        # setup after the capture/pools exists can still fail (mesh
+        # validation, a wedged device_put) — release them on the way out,
+        # the main loop's try/finally doesn't cover this stretch
+        if mesh is not None:
+            from cp360_tpu.parallel.mesh import data_sharding, replicated
 
-        n_data = mesh.shape.get("data", 1)
-        if batch_frames % n_data:
-            raise ValueError(
-                f"batch_frames={batch_frames} must be divisible by the mesh "
-                f"data axis ({n_data} devices) so frames shard evenly"
-            )
-        params = jax.device_put(params, replicated(mesh))
-        _shard_in = lambda x: jax.device_put(x, data_sharding(mesh))  # noqa: E731
-    else:
-        _shard_in = jnp.asarray
+            n_data = mesh.shape.get("data", 1)
+            if batch_frames % n_data:
+                raise ValueError(
+                    f"batch_frames={batch_frames} must be divisible by the mesh "
+                    f"data axis ({n_data} devices) so frames shard evenly"
+                )
+            params = jax.device_put(params, replicated(mesh))
+            _shard_in = lambda x: jax.device_put(x, data_sharding(mesh))  # noqa: E731
+        else:
+            _shard_in = jnp.asarray
 
-    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    if max_frames is not None:
-        total = min(total, max_frames)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if max_frames is not None:
+            total = min(total, max_frames)
+    except BaseException:
+        cap.release()
+        if flow_pool is not None:
+            flow_pool.shutdown(wait=False)
+        if remap_pool is not None:
+            remap_pool.shutdown(wait=False)
+        raise
 
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     wh = (cfg.equi_h, cfg.equi_w)  # PIL (width, height) — see Config docs
@@ -502,6 +518,7 @@ def extract_video(
             dev_out = stage1_batch(
                 params, *dev_arrays, cube_dim=cfg.cube_dim,
                 arch=arch, use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
+                out_dtype=out_dtype,  # feat_dtype applies on this path too
             )
         # D2H starts NOW, overlapping the next batches' H2D/compute (the
         # synchronous fetch path is ~20x slower on this tunnel)

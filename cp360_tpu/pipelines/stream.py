@@ -113,6 +113,13 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
     def process_frame_batch(batch):  # [(cnt, faces_future)] -> yields (id, sal)
         nonlocal carry, carry_cnts
         done = [f.result() for _, f in batch]
+        # pad the tail batch to stage1_batch (repeating the last frame, like
+        # extract.py's assemble): a smaller final batch would retrace BOTH
+        # jitted graphs for a handful of frames — compiles cost 0.5-4 min
+        # on this toolchain.  Padded frames never reach a yielded window.
+        pad = stage1_batch - len(done)
+        if pad > 0:
+            done = done + [done[-1]] * pad
         if yuv:  # half the H2D bytes (see pipelines/extract.py)
             scores, _ = stage1_batch_faces_yuv(
                 backbone_params,
@@ -127,7 +134,7 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                 use_cube_pad=cfg.cube_pad, compute_dtype=compute_dtype,
                 out_dtype=jnp.float16,
             )  # device [B, 6, h, w, C]
-        cnts = [c for c, _ in batch]
+        cnts = [c for c, _ in batch] + [batch[-1][0]] * max(0, pad)
         if carry is None:
             frames_dev = scores
             all_cnts = cnts
@@ -136,8 +143,10 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
             all_cnts = carry_cnts + cnts
 
         n = frames_dev.shape[0]
-        n_windows = n - seq_len + 1
-        if n_windows > 0:
+        n_real = n - max(0, pad)  # frames that exist in the video
+        n_windows = n - seq_len + 1  # static across batches (incl. the tail)
+        real_windows = n_real - seq_len + 1
+        if real_windows > 0:
             positions = jnp.arange(n_windows, dtype=jnp.int32)
             from cp360_tpu.utils.transfer import fetch_np
 
@@ -161,15 +170,16 @@ def _stream_frames(backbone_params, clstm_params, cfg, arch, stage1_batch,
                         conv_impl=cfg.clstm_conv_impl,
                     )
                 )
-            for k in range(n_windows):
+            for k in range(real_windows):
                 # id matches the offline saved/GT numbering
                 # ({position + seq_len - 1:05}, test_temporal.py:86-88):
-                # artifact counters start at 2, so subtract 2.
+                # artifact counters start at 2, so subtract 2.  Windows
+                # past real_windows contain pad frames and are dropped.
                 yield all_cnts[k + seq_len - 1] - 2, preds[k]
 
         keep = seq_len - 1
-        carry = frames_dev[-keep:]
-        carry_cnts = all_cnts[-keep:]
+        carry = frames_dev[:n_real][-keep:]  # trailing REAL frames only
+        carry_cnts = all_cnts[:n_real][-keep:]
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -19,6 +19,7 @@ over the mesh's data axis for multi-chip.
 from __future__ import annotations
 
 import os
+import re
 from functools import lru_cache, partial
 from typing import Dict, List
 
@@ -221,8 +222,12 @@ def video_windows(feat_dir: str) -> List[int]:
     Window start positions are 0 .. N - seq_len - 1 in this sorted list,
     mirroring the reference loop bounds (test_temporal.py:57-63).
     """
+    # strict NNNN.npy only: a crashed writer's leftovers or stray files
+    # must never appear as (possibly duplicate) frame ids — a duplicate
+    # would shift every later window off its GT id
     frames = sorted(
-        int(f.split(".")[0]) for f in os.listdir(feat_dir) if f.endswith(".npy")
+        int(m.group(1)) for m in
+        (re.match(r"(\d+)\.npy$", f) for f in os.listdir(feat_dir)) if m
     )
     return frames
 

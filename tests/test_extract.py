@@ -237,3 +237,18 @@ def test_extract_data_parallel_batch_divisibility_error(video, cfg, tmp_path):
             arch="resnet18", batch_frames=5,
             mesh=make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4]),
         )
+
+
+def test_stage1_batch_honors_out_dtype():
+    """The all-device path (host_cube_remap=False) must honor feat_dtype
+    like the face paths — it silently returned f32 regardless (2x the D2H
+    bytes on the link this pipeline is bound by)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    frames = (rng.rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    s16, _ = stage1_batch(params, jnp.asarray(frames), cube_dim=64,
+                          arch="resnet18", compute_dtype=jnp.float32,
+                          out_dtype=jnp.float16)
+    assert s16.dtype == jnp.float16

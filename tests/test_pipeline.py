@@ -630,3 +630,24 @@ def test_temporal_cli_resume_marker_invalidation(tmp_path, monkeypatch,
     temporal_main(argv(labels) + ["--resume"])
     out = capsys.readouterr().out
     assert "Extracting video" in out and "— skipping" not in out
+
+
+def test_listers_ignore_stray_files(tmp_path):
+    """Artifact listers must select strict NNNN.npy names: a crashed
+    writer's *.tmp leftovers (utils/atomic.py) or stray files must never
+    become (possibly duplicate) frame ids — a duplicate would shift every
+    later window off its GT id."""
+    fd = tmp_path / "vidA" / "cube_feat"
+    fd.mkdir(parents=True)
+    for t in (2, 3, 4, 5, 6, 7):
+        np.save(fd / f"{t:06}.npy", np.zeros((6, C, 7, 7), np.float32))
+    # crashed-writer leftovers in both historic spellings + strays
+    (fd / "000004.npy.tmp").write_bytes(b"partial")
+    np.save(fd / "000005.npy.tmp.npy", np.zeros(1))
+    np.save(fd / "notes.npy", np.zeros(1))
+
+    assert video_windows(str(fd)) == [2, 3, 4, 5, 6, 7]
+    ds = WindowDataset(str(tmp_path), None, ["vidA"], seq_len=3,
+                       require_motion=False)
+    starts = [idx for _, idx in ds.windows]
+    assert starts == sorted(set(starts)) == [2, 3, 4]
