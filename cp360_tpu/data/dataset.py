@@ -270,11 +270,13 @@ class PrefetchLoader:
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
         self.drop_last = drop_last
-        # 'int8': yield ops.quantize.Quantized pytrees instead of raw
-        # arrays — the train step dequantizes in-graph, so the f32 flow
-        # planes (~18.4 MB/window, the dominant training H2D) and the CAM
-        # windows cross the link at 1/4 resp. 1/2 the bytes.  Quantization
-        # runs on this loader's worker thread, overlapping device compute.
+        # 'int8': yield the CAM windows as ops.quantize.Quantized pytrees
+        # (int8 + scales, dequantized in-graph by the train step) and the
+        # f32 flow planes as f16 — the flows (~18.4 MB/window, the dominant
+        # training H2D) cross the link at half the bytes with ~0.01 px
+        # error, safe against the absolute mm_th motion threshold (int8's
+        # peak-relative step is not; see load_batch).  Codec work runs on
+        # this loader's worker thread, overlapping device compute.
         self.transfer_codec = transfer_codec
         # multi-host IO scale-out: load only THIS host's span of every
         # global batch (parallel/mesh.local_rows_slice) — the global index
@@ -317,7 +319,13 @@ class PrefetchLoader:
 
                 seq = Quantized(*quantize_cam_np(seq))
                 if flows.size:  # require_motion=False yields empty planes
-                    flows = Quantized(*quantize_cam_np(flows))
+                    # Flow travels f16, NOT int8: the motion mask thresholds
+                    # |flow| against the ABSOLUTE mm_th (0.15 px), while the
+                    # int8 step is amax/127 of the window's own peak — a
+                    # ~20 px peak gives a 0.157 px step, collapsing the
+                    # "static" mask to exact zeros.  f16 keeps the error
+                    # ~0.01 px there and still halves the dominant H2D.
+                    flows = flows.astype(np.float16)
             return seq, flows
 
         def put(item) -> bool:

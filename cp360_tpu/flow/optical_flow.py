@@ -35,6 +35,28 @@ _FARNEBACK_PARAMS = dict(
 )
 
 
+def _preprocess_pair(
+    prev_frame: np.ndarray, cur_frame: np.ndarray, res: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference wrapper's preprocessing contract, in ONE place
+    (utils/optical_flow.py:18-23): LANCZOS resize to ``res`` = (width,
+    height), channel reversal + BGR2GRAY (the deliberate BGR-as-RGB quirk),
+    uint8 grayscale out.  Every flow backend (Farneback/DeepFlow host,
+    Horn-Schunck/variational device) shares this so a change to the
+    contract can't silently diverge per backend."""
+    if _HAVE_CV2:
+        prev = cv2.resize(prev_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
+        cur = cv2.resize(cur_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
+        prev = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY)
+        cur = cv2.cvtColor(cur, cv2.COLOR_BGR2GRAY)
+    else:  # plain luma fallback (device backends only need "a grayscale")
+        from PIL import Image
+
+        prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
+        cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
+    return prev, cur
+
+
 def _postprocess_magnitude(flow: np.ndarray) -> np.ndarray:
     absflow = np.sqrt(flow[:, :, 0] ** 2 + flow[:, :, 1] ** 2)
     absflow = absflow - absflow.min()
@@ -58,10 +80,7 @@ def calc_optical_flow(
     if not _HAVE_CV2:
         raise RuntimeError("cv2 unavailable; use horn_schunck_flow for the device path")
 
-    prev = cv2.resize(prev_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-    cur = cv2.resize(cur_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-    prev = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY)
-    cur = cv2.cvtColor(cur, cv2.COLOR_BGR2GRAY)
+    prev, cur = _preprocess_pair(prev_frame, cur_frame, res)
 
     if hasattr(cv2, "optflow") and hasattr(cv2.optflow, "createOptFlow_DeepFlow"):
         df = cv2.optflow.createOptFlow_DeepFlow()
@@ -298,25 +317,14 @@ def calc_optical_flow_device(
     preprocessing); the flow itself is the TPU Horn-Schunck solver.  Selected
     with config ``flow_backend: horn_schunck``.
     """
-    import jax.numpy as jnp_
-
-    if _HAVE_CV2:
-        prev = cv2.resize(prev_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-        cur = cv2.resize(cur_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-        prev = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY)
-        cur = cv2.cvtColor(cur, cv2.COLOR_BGR2GRAY)
-    else:  # plain luma fallback
-        from PIL import Image
-
-        prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
-        cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
+    prev, cur = _preprocess_pair(prev_frame, cur_frame, res)
 
     from cp360_tpu.utils.transfer import fetch_np
 
     flow = fetch_np(  # async-enqueued D2H — plain np.asarray is ~20x slower here
         horn_schunck_flow(
-            jnp_.asarray(prev, jnp_.float32) / 255.0,
-            jnp_.asarray(cur, jnp_.float32) / 255.0,
+            jnp.asarray(prev, jnp.float32) / 255.0,
+            jnp.asarray(cur, jnp.float32) / 255.0,
         )
     )
     return _postprocess_magnitude(flow), flow

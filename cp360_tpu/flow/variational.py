@@ -242,20 +242,9 @@ def calc_optical_flow_variational(
     returns (normalized magnitude with < mean−1.5σ zeroed, raw flow).
     Selected with config ``flow_backend: variational``.
     """
-    from cp360_tpu.flow.optical_flow import _HAVE_CV2
+    from cp360_tpu.flow.optical_flow import _preprocess_pair
 
-    if _HAVE_CV2:
-        import cv2
-
-        prev = cv2.resize(prev_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-        cur = cv2.resize(cur_frame[..., ::-1], res, interpolation=cv2.INTER_LANCZOS4)
-        prev = cv2.cvtColor(prev, cv2.COLOR_BGR2GRAY)
-        cur = cv2.cvtColor(cur, cv2.COLOR_BGR2GRAY)
-    else:  # plain luma fallback
-        from PIL import Image
-
-        prev = np.asarray(Image.fromarray(prev_frame[..., ::-1]).convert("L").resize(res))
-        cur = np.asarray(Image.fromarray(cur_frame[..., ::-1]).convert("L").resize(res))
+    prev, cur = _preprocess_pair(prev_frame, cur_frame, res)
 
     from cp360_tpu.utils.transfer import fetch_np
 

@@ -127,7 +127,10 @@ def fold_batch_norm_into_conv(conv_w: jax.Array, bn: dict, eps: float = 1e-5):
     """Fold inference BN into the preceding conv: returns (w', b').
 
     Exact algebra: y = (x*W - mean) * scale/sqrt(var+eps) + bias.
-    Used by the production/bench path to remove BN from the hot graph.
+    Available for offline checkpoint preparation (fewer params to ship /
+    inspect); the hot graphs keep explicit batch_norm — XLA already fuses
+    the elementwise scale/shift into the conv output, so folding buys no
+    measured step time.  Folding math is pinned by tests/test_models.py.
     """
     scale = np.asarray(bn["scale"], np.float64)
     var = np.asarray(bn["var"], np.float64)

@@ -22,9 +22,17 @@ _lib = None
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-o", _SO + ".tmp"]
-    subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+    # pid-unique temp: two processes racing the first build must not
+    # interleave g++ output into one file; os.replace keeps the install
+    # atomic either way (last writer wins with a complete .so).
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _SO)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib():
@@ -35,7 +43,13 @@ def get_lib():
             return _lib
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # A corrupt cached .so is newer than the source so the mtime
+            # check never fires — rebuild once before giving up.
+            _build()
+            lib = ctypes.CDLL(_SO)
         lib.npy_payload_bytes.restype = ctypes.c_uint64
         lib.npy_payload_bytes.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
         lib.npy_load_batch.restype = ctypes.c_int

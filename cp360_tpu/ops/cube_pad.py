@@ -198,6 +198,13 @@ def cube_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     if squeeze:
         x = x[None]
     assert x.shape[1] == 6, f"expected a 6-face axis, got {x.shape[1]}"
+    if x.shape[2] != x.shape[3]:
+        # Same contract build_cube_pad_index_map enforces — checked here too
+        # so the default (explicit) path fails with the designed message
+        # instead of a cryptic stack-shape error deep in plate construction.
+        raise ValueError(
+            f"cube padding requires square faces, got {x.shape[2]}x{x.shape[3]}"
+        )
     p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
     if (p_l, p_r, p_t, p_d) == (0, 0, 0, 0):
         return x[0] if squeeze else x

@@ -43,8 +43,15 @@ def _bilinear_gather(flat_src: jax.Array, xs: jax.Array, ys: jax.Array,
       out-of-range corners keep their (zero or border) weight semantics of
       the callers, which pre-clamp coordinates.
 
-    Returns [..., *S, C].
+    Returns [..., *S, C].  Integer sources are sampled in float32 and
+    rounded back to the input dtype (cv2.remap-style), so uint8 frames get
+    true bilinear weights instead of silently degrading to floor-pixel
+    sampling via an integer-cast fractional weight.
     """
+    src_dtype = flat_src.dtype
+    integer_src = not jnp.issubdtype(src_dtype, jnp.inexact)
+    if integer_src:
+        flat_src = flat_src.astype(jnp.float32)
     x0 = jnp.floor(xs)
     y0 = jnp.floor(ys)
     fx = (xs - x0).astype(flat_src.dtype)
@@ -71,6 +78,8 @@ def _bilinear_gather(flat_src: jax.Array, xs: jax.Array, ys: jax.Array,
     w10 = ((1 - fx) * fy).reshape(-1, 1)
     w11 = (fx * fy).reshape(-1, 1)
     out = g00 * w00 + g01 * w01 + g10 * w10 + g11 * w11
+    if integer_src:
+        out = jnp.round(out).astype(src_dtype)
     return out.reshape(*flat_src.shape[:-2], *s, flat_src.shape[-1])
 
 
@@ -166,7 +175,12 @@ def cube_to_equi(faces: jax.Array) -> jax.Array:
     assert six == 6 and h == w, f"expected [N,6,w,w,C], got {faces.shape}"
     flat = faces.reshape(n, 6 * h * w, c)
 
-    if 6 * h * w <= 16384:  # matmul form: M is [32w^2, 6w^2] — fine to w~52
+    # Matmul form: M is [8w^2, 6w^2] f32 = 192*w^4 bytes (w=14 -> 7 MB, the
+    # shipped CAM sizes; w=20 -> 30 MB).  Cap where the dense matrix stays
+    # cheap to build/ship/cache — beyond that the gather path, though slower
+    # per element, avoids multi-hundred-MB jit constants (w=52 would be
+    # 1.4 GB, lru-cached 8 deep).
+    if 6 * h * w <= 6 * 20 * 20:
         # Default f32 matmul precision: "highest" is pathologically slow on
         # this libtpu (measured 16.6 s vs 5.7 ms for this op) and the default
         # is already ~1e-6-accurate for these 4-term weighted sums.
@@ -198,6 +212,11 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
     Used by flow warping in the training losses
     (temporal_model/train_temporal.py:143) and as the general sampler.
     """
+    src_dtype = x.dtype
+    if not jnp.issubdtype(src_dtype, jnp.inexact):
+        # Integer inputs would truncate the fractional weights to 0 below;
+        # sample in float32 and round back (cv2/torch-style).
+        x = x.astype(jnp.float32)
     n, h, w, c = x.shape
     gx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
     gy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
@@ -224,6 +243,8 @@ def grid_sample(x: jax.Array, grid: jax.Array) -> jax.Array:
         + corner(y0 + 1, x0, (1 - fx) * fy)
         + corner(y0 + 1, x0 + 1, fx * fy)
     )
+    if not jnp.issubdtype(src_dtype, jnp.inexact):
+        out = jnp.round(out).astype(src_dtype)
     return out
 
 

@@ -149,3 +149,25 @@ def test_cam_forward_nonneg_scores(resnet_params):
     assert scores.shape == (1, 6, 7, 7, 1000)
     assert feats.shape == (1, 6, 7, 7, 2048)
     assert bool(jnp.all(scores >= -1e-3))  # non-negative-shifted weights
+
+
+def test_fold_batch_norm_into_conv_exact():
+    """Folded (w', b') reproduces conv2d -> batch_norm on f32 inputs."""
+    from cp360_tpu.models.layers import (
+        batch_norm, bn_params, conv2d, fold_batch_norm_into_conv,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 5).astype(np.float32) * 0.1)
+    bn = bn_params(5)
+    bn = {
+        "scale": jnp.asarray(rng.rand(5).astype(np.float32) + 0.5),
+        "bias": jnp.asarray(rng.randn(5).astype(np.float32)),
+        "mean": jnp.asarray(rng.randn(5).astype(np.float32)),
+        "var": jnp.asarray(rng.rand(5).astype(np.float32) + 0.1),
+    }
+    ref = batch_norm(conv2d(x, w, padding="SAME"), bn)
+    wf, bf = fold_batch_norm_into_conv(w, bn)
+    out = conv2d(x, wf, bf, padding="SAME")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)

@@ -94,3 +94,30 @@ def test_dataset_get_batch_matches_getitem(tmp_path):
         seq_i, flow_i, _, _ = ds[i]
         np.testing.assert_array_equal(seq_b[k], seq_i)
         np.testing.assert_array_equal(flow_b[k], flow_i)
+
+
+def test_corrupt_cached_so_heals(npy_dir):
+    """A corrupt cached .so newer than the source (e.g. an interrupted
+    build) is rebuilt once on CDLL failure instead of poisoning every
+    future run.  Must run in a fresh process: overwriting an mmap'd .so
+    in-place SIGBUSes the corrupting process itself."""
+    import subprocess
+    import sys
+
+    paths, arrays = npy_dir
+    script = (
+        "import sys, os, numpy as np\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import cp360_tpu.native as nat\n"
+        "open(nat._SO, 'wb').write(b'garbage')\n"
+        "src_m = os.path.getmtime(nat._SRC)\n"
+        "os.utime(nat._SO, (src_m + 10, src_m + 10))\n"  # corrupt file is NEWER
+        f"a = nat.load_npy_batch([{paths[0]!r}], (6, 8, 7, 7), np.float32)\n"
+        "print('healed', a.shape)\n"
+    )
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "healed (1, 6, 8, 7, 7)" in out.stdout
+    # and the installed .so is valid again for THIS process's future users
+    assert native.available()

@@ -162,6 +162,29 @@ def test_train_step_quantized_batches_close():
     assert np.isfinite(float(m_a["loss"]))
 
 
+def test_flow_f16_codec_preserves_motion_mask():
+    """Regression: the loader must NOT int8-quantize flow.  With a realistic
+    ~20 px peak the int8 step (amax/127 ~ 0.16 px) exceeds mm_th=0.15, so
+    sub-threshold motion can't survive quantization and the static mask in
+    weak_supervision_losses degenerates; f16 keeps the mask bit-identical
+    here (its error at the threshold is ~1e-4 px)."""
+    rng = np.random.RandomState(0)
+    flow = (rng.randn(1, 32, 64, 2) * 0.2).astype(np.float32)  # slow region
+    flow[0, :8] *= 100.0  # a fast region pushes the plane peak to ~20 px
+    mm_th = 0.15
+    static = np.sqrt((flow.astype(np.float64) ** 2).sum(-1)) < mm_th
+    assert static.any() and (~static).any()
+
+    f16 = flow.astype(np.float16).astype(np.float32)
+    mag16 = np.sqrt((f16 ** 2).sum(-1))
+    np.testing.assert_array_equal(mag16 < mm_th, static)
+
+    # the int8 codec, by contrast, visibly corrupts the mask on this input
+    back = dequantize_cam_np(*quantize_cam_np(flow))
+    mag8 = np.sqrt((back ** 2).sum(-1))
+    assert ((mag8 < mm_th) != static).mean() > 0.01
+
+
 def test_train_loop_with_codec_loader(artifacts, tmp_path):
     """train() end-to-end over a PrefetchLoader(transfer_codec=int8):
     Quantized batches flow through shard-less and sharded paths unchanged
@@ -175,8 +198,10 @@ def test_train_loop_with_codec_loader(artifacts, tmp_path):
     loader = PrefetchLoader(ds, batch_size=2, shuffle=False, num_threads=2,
                             transfer_codec="int8")
     batch = next(iter(loader))
-    assert isinstance(batch[0], Quantized) and isinstance(batch[1], Quantized)
-    assert batch[0].q.dtype == np.int8 and batch[1].q.dtype == np.int8
+    assert isinstance(batch[0], Quantized) and batch[0].q.dtype == np.int8
+    # flows travel f16, NOT int8: the motion mask thresholds |flow| against
+    # the ABSOLUTE mm_th, which a peak-relative int8 step can exceed
+    assert isinstance(batch[1], np.ndarray) and batch[1].dtype == np.float16
 
     cfg = Config(compute_dtype="float32", flow_h=16, epochs=1, summary_freq=1,
                  save_freq=1000, input_size=C, hidden_size=C,
