@@ -292,15 +292,31 @@ class PrefetchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        it = self.iter_epoch(self._epoch)
+        self._epoch += 1
+        return it
+
+    def iter_epoch(
+        self, epoch: int, skip_batches: int = 0
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """The epoch's batches in a DETERMINISTIC order seeded by
+        ``seed + epoch`` — independent of this loader's iteration history,
+        so a resumed process replays the exact order the uninterrupted run
+        would have used (plain ``__iter__`` counts epochs from process
+        start, which diverges after a restart).  ``skip_batches`` drops the
+        first k batches WITHOUT reading their files — the train loop uses
+        it to continue a mid-epoch checkpoint at the next unseen batch.
+        """
         order = np.arange(len(self.ds))
         if self.shuffle:
-            np.random.RandomState(self.seed + self._epoch).shuffle(order)
-        self._epoch += 1
+            np.random.RandomState(self.seed + epoch).shuffle(order)
 
         nb = len(self)
+        if not 0 <= skip_batches <= nb:
+            raise ValueError(f"skip_batches={skip_batches} not in [0, {nb}]")
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size]
-            for i in range(nb)
+            for i in range(skip_batches, nb)
         ]
         if self.rows is not None:
             if not self.drop_last:

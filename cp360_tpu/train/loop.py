@@ -514,13 +514,35 @@ def train(
             except (ValueError, KeyError, OSError):
                 pass  # unreadable sidecar: fall back to re-earning best.npz
         for epoch in range(start_epoch, cfg.epochs):
+            # Deterministic data order + exact mid-epoch resume: the loader's
+            # epoch seed is the REAL epoch number (not a process-local
+            # counter), and the first resumed epoch skips the batches its
+            # checkpoint already trained on — a preempted+resumed run
+            # consumes the identical batch sequence (and total step count)
+            # as an uninterrupted one.  Plain iterables still work.
+            batches = loader
+            if hasattr(loader, "iter_epoch"):
+                skip = 0
+                spe = len(loader)
+                if restored is not None and epoch == start_epoch and spe:
+                    skip = it - epoch * spe
+                    if not 0 <= skip <= spe:
+                        log_fn(
+                            f"resume: iter {it} does not align with "
+                            f"{spe} batches/epoch (dataset or batch size "
+                            f"changed?) — re-running epoch {epoch} in full")
+                        skip = 0
+                    elif skip:
+                        log_fn(f"resume: epoch {epoch} continues at batch "
+                               f"{skip}/{spe}")
+                batches = loader.iter_epoch(epoch, skip_batches=skip)
             # ``running`` stays a lazy device scalar: materializing the loss
             # every step (float()) would block JAX async dispatch and
             # serialize the pipeline — the host only syncs at summary_freq.
             running = jnp.zeros((), jnp.float32)
             n_since = 0
             t_sum = time.time()
-            for seq, flows in loader:
+            for seq, flows in batches:
                 if mesh is not None:
                     from cp360_tpu.parallel import mesh as pmesh
 

@@ -651,3 +651,43 @@ def test_listers_ignore_stray_files(tmp_path):
                        require_motion=False)
     starts = [idx for _, idx in ds.windows]
     assert starts == sorted(set(starts)) == [2, 3, 4]
+
+
+def test_loader_iter_epoch_deterministic_and_skip(artifacts):
+    """iter_epoch(e) is seeded by the REAL epoch number — independent of the
+    loader's iteration history — and skip_batches continues mid-epoch on
+    exactly the unseen batches (what exact preemption resume relies on)."""
+    ds = WindowDataset(artifacts, artifacts, ["vidA", "vidB"], seq_len=5)
+    loader = PrefetchLoader(ds, batch_size=4, shuffle=True, seed=1,
+                            num_threads=1)
+    assert len(loader) == 3
+
+    def seqs(it):
+        return [np.asarray(seq) for seq, _ in it]
+
+    e1 = seqs(loader.iter_epoch(1))
+    # replayable regardless of what was iterated before
+    e1_again = seqs(loader.iter_epoch(1))
+    assert len(e1) == 3
+    for a, b in zip(e1, e1_again):
+        np.testing.assert_array_equal(a, b)
+
+    # epochs shuffle differently
+    e0 = seqs(loader.iter_epoch(0))
+    assert any(not np.array_equal(a, b) for a, b in zip(e0, e1))
+
+    # skip_batches drops exactly the leading batches, reading nothing else
+    tail = seqs(loader.iter_epoch(1, skip_batches=2))
+    assert len(tail) == 1
+    np.testing.assert_array_equal(tail[0], e1[2])
+    assert seqs(loader.iter_epoch(1, skip_batches=3)) == []
+    with pytest.raises(ValueError, match="skip_batches"):
+        next(iter(loader.iter_epoch(1, skip_batches=4)))
+
+    # plain iteration == iter_epoch(0), iter_epoch(1), ... for a fresh loader
+    fresh = PrefetchLoader(ds, batch_size=4, shuffle=True, seed=1,
+                           num_threads=1)
+    for a, b in zip(seqs(fresh), e0):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(seqs(fresh), e1):
+        np.testing.assert_array_equal(a, b)

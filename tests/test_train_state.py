@@ -457,3 +457,66 @@ def test_train_explicit_missing_resume_path_raises(tmp_path):
                  checkpoint_path=str(tmp_path), epochs=1)
     with pytest.raises(FileNotFoundError, match="resume_state"):
         train(cfg, loader=[], resume_state=str(tmp_path / "nope.npz"))
+
+
+def test_mid_epoch_resume_matches_uninterrupted(tmp_path):
+    """A full-state checkpoint taken mid-epoch resumes at the next UNSEEN
+    batch of the epoch-seeded order (loader.iter_epoch) — the resumed run
+    consumes the identical batch sequence and step count as an uninterrupted
+    one, so the final params match bit-for-bit on CPU."""
+    from cp360_tpu.data.dataset import PrefetchLoader, WindowDataset
+    from cp360_tpu.train.checkpoint import make_checkpointer
+    from cp360_tpu.train.loop import checkpoint_dir, train
+
+    # one video, frames 2..12 -> 6 stride-1 windows; batch 2 -> 3 steps/epoch
+    rng = np.random.RandomState(0)
+    arts = tmp_path / "arts"
+    fd = arts / "vidA" / "cube_feat"
+    md = arts / "vidA" / "motion"
+    fd.mkdir(parents=True)
+    md.mkdir(parents=True)
+    for t in range(2, 13):
+        np.save(fd / f"{t:06}.npy", rng.rand(6, C, 7, 7).astype(np.float32))
+        np.save(md / f"{t:06}.npy", rng.randn(16, 32, 2).astype(np.float32))
+    ds = WindowDataset(str(arts), str(arts), ["vidA"], seq_len=5)
+
+    def make_cfg(ckdir):
+        return Config(input_size=C, hidden_size=C, flow_h=16, seq_len=5,
+                      batch_size=2, epochs=2, summary_freq=10**9,
+                      save_freq=10**9, compute_dtype="float32", lr=1e-3,
+                      checkpoint_path=str(tmp_path / ckdir))
+
+    def make_loader():
+        return PrefetchLoader(ds, batch_size=2, shuffle=True, seed=3,
+                              num_threads=1)
+
+    params0 = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+
+    # uninterrupted: 2 epochs x 3 batches
+    cfg_full = make_cfg("ck_full")
+    p_full = train(cfg_full, make_loader(), params=dict(params0),
+                   log_fn=lambda *a, **k: None)
+    want = np.asarray(p_full["gates"]["w"])
+
+    # "preempted" run: replay the first 2 batches of epoch 0 manually with
+    # the same step_fn, save the FULL train state mid-epoch, then resume
+    cfg = make_cfg("ck_resume")
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+    p = jax.device_put(params0)
+    o = opt.init(p)
+    loader = make_loader()
+    for i, (seq, fl) in enumerate(loader.iter_epoch(0)):
+        if i == 2:
+            break
+        p, o, _ = step(p, o, jnp.asarray(seq), jnp.asarray(fl))
+    ck = make_checkpointer("npz", checkpoint_dir(cfg))
+    ck.save(p, o, 2, 0)
+    ck.close()
+
+    logs = []
+    p_res = train(cfg, make_loader(), params=dict(params0),
+                  resume_state="latest",
+                  log_fn=lambda *a, **k: logs.append(" ".join(map(str, a))))
+    assert any("continues at batch 2/3" in s for s in logs), logs
+    np.testing.assert_array_equal(np.asarray(p_res["gates"]["w"]), want)
