@@ -96,22 +96,30 @@ def test_dataset_get_batch_matches_getitem(tmp_path):
         np.testing.assert_array_equal(flow_b[k], flow_i)
 
 
-def test_corrupt_cached_so_heals(npy_dir):
+def test_corrupt_cached_so_heals(npy_dir, tmp_path):
     """A corrupt cached .so newer than the source (e.g. an interrupted
     build) is rebuilt once on CDLL failure instead of poisoning every
-    future run.  Must run in a fresh process: overwriting an mmap'd .so
-    in-place SIGBUSes the corrupting process itself."""
+    future run.  Runs against a SANDBOXED install path: the real installed
+    .so must never be rewritten in place — its inode is mmap'd by this very
+    pytest process (and any other live user), and truncating a mapped .so
+    delivers a deferred SIGBUS to those processes at their next call into
+    it (observed as a full-suite crash two files later in test_parallel).
+    A fresh subprocess is still used so the corrupt CDLL attempt can't
+    poison this process's cached handle either."""
     import subprocess
     import sys
 
     paths, arrays = npy_dir
+    sandbox_so = str(tmp_path / "libnpy_loader.so")
+    with open(sandbox_so, "wb") as f:
+        f.write(b"garbage")
+    src_m = os.path.getmtime(native._SRC)
+    os.utime(sandbox_so, (src_m + 10, src_m + 10))  # corrupt file is NEWER
     script = (
         "import sys, os, numpy as np\n"
         f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
         "import cp360_tpu.native as nat\n"
-        "open(nat._SO, 'wb').write(b'garbage')\n"
-        "src_m = os.path.getmtime(nat._SRC)\n"
-        "os.utime(nat._SO, (src_m + 10, src_m + 10))\n"  # corrupt file is NEWER
+        f"nat._SO = {sandbox_so!r}\n"  # never touch the installed inode
         f"a = nat.load_npy_batch([{paths[0]!r}], (6, 8, 7, 7), np.float32)\n"
         "print('healed', a.shape)\n"
     )
@@ -119,5 +127,7 @@ def test_corrupt_cached_so_heals(npy_dir):
                          text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert "healed (1, 6, 8, 7, 7)" in out.stdout
-    # and the installed .so is valid again for THIS process's future users
+    # the sandbox heal produced a real library at the sandbox path
+    assert os.path.getsize(sandbox_so) > 1000
+    # and the installed .so was never touched
     assert native.available()
