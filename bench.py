@@ -25,16 +25,25 @@ cv2.remap equi->cube + cubic ResNet-50 forward + NumPy CAM matmul), measured
 by tools/measure_torch_baseline.py and recorded in BENCH_BASELINE.json.
 
 The top-level invocation prints ONE JSON line: {"metric", "value", "unit",
-"vs_baseline", "spread", "n_iters", "attempt"} — value is the median over
-completed iterations, spread the [min, max] fps (the transfer tunnel's
-variance is real; quote both).  Internally it spawns worker subprocesses
+"vs_baseline", "spread", "spread_gated_n", "n_iters", "attempt",
+"device_fps", "device_vs_baseline"[, "discarded"]} — value is the e2e
+median over completed iterations; spread the [min, max] fps over
+FETCH-GATED iterations only (in the pipelined steady state an iteration
+whose async D2H already landed has an ungated wall delta that is not a
+frame rate — the tunnel's real variance still makes a single number
+misleading, quote both); device_fps the compute-only rate (batches
+device-resident, steps chained through an accumulator — what stage 1 runs
+at when the host link is a real PCIe, not this ~40 MB/s relay tunnel;
+BENCH_DEVICE=0 skips).  Internally it spawns worker subprocesses
 (--worker) that emit a provisional line per iteration.  The tunnel has
 documented multi-minute DEGRADED phases (CLAUDE.md) 2-100x below healthy
 throughput; an attempt that completes with a median below
-BENCH_RETRY_IF_BELOW (default 24 fps — healthy runs measure 25-36) is kept
-as the fallback and retried while attempts remain, and the parent reports
-the BEST attempt's median (the per-attempt phase is the noise being
-rejected; the spread/n_iters/attempt fields keep the line honest).
+BENCH_RETRY_IF_BELOW (default 24 fps with the int8 codec, 20 for
+BENCH_CODEC=none — healthy runs measure 25-36 / ~25) is kept as the
+fallback and retried while attempts remain, and the parent reports the
+BEST attempt's median, with every rejected completed median preserved in
+"discarded" (the per-attempt phase is the noise being rejected; the
+spread/n_iters/attempt/discarded fields keep the line honest).
 """
 
 import json
@@ -82,9 +91,13 @@ def main():
     # phase, not the framework (healthy yuv420+int8 runs measure 25-36 fps):
     # keep it as the fallback and spend remaining attempts hunting a healthy
     # phase; the best attempt becomes the line of record (annotated).
-    retry_below = float(os.environ.get("BENCH_RETRY_IF_BELOW", "24"))
+    # the exact path (BENCH_CODEC=none) measures ~25 fps healthy — a 24 fps
+    # default would spuriously retry healthy exact runs (ADVICE r3)
+    default_floor = "24" if os.environ.get("BENCH_CODEC", "int8") != "none" else "20"
+    retry_below = float(os.environ.get("BENCH_RETRY_IF_BELOW", default_floor))
     last = None
     best = None
+    discarded: list = []  # completed medians not chosen as the record
     # every attempt pays the remote compile (the client-side compile cache
     # is unusable on this plugin — see _measure).  The helper's compile
     # has been measured anywhere from ~30 s to ~330 s; attempt 0 gets the
@@ -131,8 +144,16 @@ def main():
             if parsed.get("value"):
                 parsed["attempt"] = i
                 if best is None or parsed["value"] > best["value"]:
+                    if best is not None:
+                        discarded.append(best["value"])
                     best = parsed
+                else:
+                    discarded.append(parsed["value"])
                 if parsed["value"] >= retry_below or i == attempts - 1:
+                    if discarded:
+                        # bench-honesty contract: medians from completed but
+                        # rejected (degraded-phase) attempts stay on record
+                        best["discarded"] = discarded
                     print(json.dumps(best))
                     return
                 print(
@@ -153,6 +174,8 @@ def main():
             print(f"bench: fast failure — backing off {backoff_s:.0f}s "
                   "before retry (tunnel outage?)", file=sys.stderr)
             time.sleep(backoff_s)
+    if best is not None and discarded:
+        best["discarded"] = discarded
     print(json.dumps(best or last or {
         "metric": "stage1_frames_per_sec", "value": None,
         "unit": "frames/s (no attempt completed — transfer tunnel wedged)",
@@ -169,11 +192,13 @@ def _worker_main():
         # tests/test_bench_contract.py: simulate a deterministic attempt
         # failure (tunnel outage) without touching any backend
         sys.exit(3)
-    if os.environ.get("BENCH_SELFTEST_VALUES"):
+    if (os.environ.get("BENCH_SELFTEST_VALUES")
+            and os.environ.get("BENCH_SELFTEST_STATE")):
         # tests/test_bench_contract.py: emit a scripted per-attempt median
         # (comma-separated; a counter file sequences successive attempts)
         # without touching any backend — pins the parent's retry-if-degraded
-        # ladder
+        # ladder.  BOTH vars are required: a stray VALUES alone must not
+        # substitute fake output for a real measurement.
         vals = [float(v) for v in
                 os.environ["BENCH_SELFTEST_VALUES"].split(",")]
         state = os.environ["BENCH_SELFTEST_STATE"]
@@ -188,7 +213,8 @@ def _worker_main():
                           "unit": "frames/s (selftest)", "vs_baseline": None,
                           "n_iters": 2, "spread": [v, v]}))
         sys.exit(0)
-    batch, times, done = _spawn_measure()
+    batch, state, done = _spawn_measure()
+    times = state["times"]
     # level-1 watchdog inside the worker: report partial medians if the
     # steady-state loop wedges after some iterations completed
     hard_s = float(os.environ.get("BENCH_HARD_S", "540"))
@@ -198,7 +224,7 @@ def _worker_main():
               f"{len(times)} completed iterations (tunnel wedge?)",
               file=sys.stderr)
     if len(times) >= 1:
-        _report(batch, list(times))
+        _report(batch, list(times), list(state["gated"]), state["device_fps"])
     else:
         print(json.dumps({
             "metric": "stage1_frames_per_sec", "value": None,
@@ -224,13 +250,17 @@ def _baseline_fps():
     return _BASELINE_CACHE[0]
 
 
-def _report(batch, times):
+def _report(batch, times, gated=None, device_fps=None):
     fps = batch / float(np.median(times))
-    # spread over completed iterations — the tunnel's documented variance
-    # (CLAUDE.md) makes a single number misleading; docs must quote the
-    # driver-captured artifact, median AND spread
-    fps_min = batch / float(np.max(times))
-    fps_max = batch / float(np.min(times))
+    # spread over FETCH-GATED iterations only — in the pipelined steady
+    # state an iteration whose async D2H already landed has an ungated wall
+    # delta that is not a frame rate (BENCH_r03's absurd 155.9 max); the
+    # tunnel's documented variance (CLAUDE.md) still makes a single number
+    # misleading, so docs must quote the artifact, median AND spread
+    src = [t for t, g in zip(times, gated)
+           if g] if gated and any(gated) else times
+    fps_min = batch / float(np.max(src))
+    fps_max = batch / float(np.min(src))
     baseline_fps = _baseline_fps()
 
     result = {
@@ -239,14 +269,23 @@ def _report(batch, times):
         "unit": "frames/s (equi 960x1920 -> CAM cube + saliency, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "spread": [round(fps_min, 3), round(fps_max, 3)],
+        "spread_gated_n": len(src) if gated and any(gated) else 0,
         "n_iters": len(times),
     }
+    if device_fps is not None:
+        # compute-only fps (batches device-resident, steps chained through
+        # an accumulator, no per-iteration link traffic) — what stage 1
+        # would run at on a real PCIe host where the link is not a ~40 MB/s
+        # relay tunnel
+        result["device_fps"] = round(device_fps, 1)
+        if baseline_fps:
+            result["device_vs_baseline"] = round(device_fps / baseline_fps, 1)
     print(json.dumps(result), flush=True)
 
 
 def _spawn_measure():
     batch = int(os.environ.get("BENCH_BATCH", "16"))
-    times: list = []
+    state = {"times": [], "gated": [], "device_fps": None}
     done = threading.Event()
 
     def run():
@@ -254,7 +293,7 @@ def _spawn_measure():
         # instead of idling until the watchdog: only a genuine wedge — a
         # blocked transfer — should consume the attempt budget
         try:
-            _measure(times, done)
+            _measure(state, done)
         except Exception:
             import traceback
 
@@ -263,10 +302,10 @@ def _spawn_measure():
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
-    return batch, times, done
+    return batch, state, done
 
 
-def _measure(times, done):
+def _measure(state, done):
     import jax
 
     # NOTE: do NOT enable the persistent compilation cache here — this
@@ -339,12 +378,15 @@ def _measure(times, done):
     # driver runs; the parent uses it as the last-attempt fallback
     async_d2h = os.environ.get("BENCH_ASYNC", "1") != "0"
 
-    def run(dev_arrays):
+    def compute(dev_arrays):
         fn = stage1_batch_faces_yuv if yuv else stage1_batch_faces
-        out = fn(
+        return fn(
             params, *dev_arrays, arch="resnet50", use_cube_pad=True,
             compute_dtype=jnp.bfloat16, out_dtype=jnp.float16, codec=codec,
         )
+
+    def run(dev_arrays):
+        out = compute(dev_arrays)
         if async_d2h:
             # start the D2H immediately: the synchronous fetch path runs
             # ~20x slower on this tunnel than enqueued async copies
@@ -388,6 +430,7 @@ def _measure(times, done):
         uploads.append(upload(remap(next_i)))
         next_i += 1
 
+    times, gated = state["times"], state["gated"]
     pending = None
     t_prev = time.time()
     for i in range(n_warm, n_total):
@@ -396,6 +439,7 @@ def _measure(times, done):
             uploads.append(upload(remap(next_i)))
             next_i += 1
         out = run(dev_arrays)
+        t_fetch = time.time()
         if pending is not None:
             fetch(pending)
         pending = out
@@ -405,17 +449,74 @@ def _measure(times, done):
             # was None), so its wall delta measures only host remap +
             # async dispatch and would inflate the median/spread
             times.append(now - t_prev)
+            # an iteration whose async D2H had already landed (fetch
+            # returned ~instantly) has an ungated interval — fine for the
+            # median (the time it saved was paid by a neighbor) but its
+            # min/max is not a frame rate; _report derives the spread from
+            # gated intervals only
+            gated.append(now - t_fetch >= 0.010)
         t_prev = now
         if len(times) >= 2:
             # provisional line after every iteration: a wedge or kill
             # mid-run still leaves the parent a usable partial median
             # (the parent prints only the LAST json line it sees)
-            _report(batch, list(times))
+            _report(batch, list(times), list(gated))
         if now - t_start > budget_s and len(times) >= 2:
             break  # degraded link: report what completed
     fetch(pending)
+
+    # compute-only phase (VERDICT r3 #3): device-resident batches, no link
+    # traffic in the timed loop.  Reuses the ALREADY-COMPILED fused graph by
+    # generating fresh YUV planes on device per iteration (distinct data —
+    # the tunnel dedups; chained through a scalar accumulator because
+    # block_until_ready lies here, see tools/bench_pallas.py).
+    if (os.environ.get("BENCH_DEVICE", "1") != "0" and yuv
+            and time.time() - t_start < budget_s):
+        try:
+            state["device_fps"] = _measure_device(
+                jax, jnp, params, compute, batch,
+                int(os.environ.get("BENCH_DEVICE_ITERS", "10")))
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+    _report(batch, list(times), list(gated), state["device_fps"])
     pool.shutdown(wait=False)
     done.set()
+
+
+def _measure_device(jax, jnp, params, compute, batch, n_iters):
+    """Compute-only stage-1 fps: the fused graph vs the reference's
+    dataset_feat_extractor.py:119-192 loop, with the (host-specific) relay
+    tunnel excluded.  Inputs are device-generated u8 YUV planes with
+    per-iteration keys; completion is forced through a scalar accumulator
+    that every iteration's outputs feed."""
+
+    @jax.jit
+    def make(k):
+        ky, kuv = jax.random.split(k)
+        y = jax.random.randint(ky, (batch, 6, 224, 224), 0, 256, jnp.uint8)
+        uv = jax.random.randint(kuv, (batch, 6, 112, 112, 2), 0, 256,
+                                jnp.uint8)
+        return y, uv
+
+    key = jax.random.PRNGKey(42)
+    planes = [make(jax.random.fold_in(key, i)) for i in range(n_iters)]
+    out = compute(planes[0])  # warm (same shapes/dtypes as the e2e graph)
+    acc = sum(jnp.sum(a[:1, :1].astype(jnp.float32)) for a in out)
+    float(acc)  # materialize inputs + warm run before timing
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.time()
+    for i in range(n_iters):
+        out = compute(planes[i])
+        acc = acc + sum(jnp.sum(a[:1, :1].astype(jnp.float32)) for a in out)
+    assert np.isfinite(float(acc))  # gates on every iteration's outputs
+    dt = time.time() - t0
+    fps = batch * n_iters / dt
+    print(f"bench: device-resident {fps:.1f} fps "
+          f"({dt/n_iters*1e3:.1f} ms/batch, {n_iters} iters)",
+          file=sys.stderr, flush=True)
+    return fps
 
 
 if __name__ == "__main__":

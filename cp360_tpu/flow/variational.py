@@ -232,6 +232,29 @@ def brox_flow(
     return jnp.stack([u, v], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("levels", "n_warp", "fp_iters",
+                                   "solver_iters", "presmooth", "median"))
+def brox_flow_batch(
+    prev_gray: jax.Array,
+    cur_gray: jax.Array,
+    alpha: float = 0.02,
+    gamma: float = 0.5,
+    levels: int = 5,
+    n_warp: int = 3,
+    fp_iters: int = 5,
+    solver_iters: int = 25,
+    presmooth: bool = True,
+    median: bool = True,
+) -> jax.Array:
+    """Batched :func:`brox_flow`: [N, H, W] pairs -> [N, H, W, 2] via vmap
+    (static shapes; the batch rides the VPU lanes — see
+    horn_schunck_flow_batch for the throughput rationale)."""
+    return jax.vmap(
+        lambda a, b: brox_flow(a, b, alpha, gamma, levels, n_warp, fp_iters,
+                               solver_iters, presmooth, median)
+    )(prev_gray, cur_gray)
+
+
 def calc_optical_flow_variational(
     prev_frame: np.ndarray, cur_frame: np.ndarray, res: Tuple[int, int] = (960, 480)
 ) -> Tuple[np.ndarray, np.ndarray]:

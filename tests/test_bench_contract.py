@@ -84,6 +84,54 @@ def test_parent_keeps_degraded_value_when_attempts_exhaust(tmp_path):
     parsed = _run_parent(tmp_path, "18.0,17.0", attempts=2)
     assert parsed["value"] == 18.0  # best of the two degraded attempts
     assert parsed["attempt"] == 0
+    assert parsed["discarded"] == [17.0]  # honesty: rejected medians on record
+
+
+def test_parent_records_discarded_degraded_medians(tmp_path):
+    parsed = _run_parent(tmp_path, "18.0,31.0", attempts=3)
+    assert parsed["value"] == 31.0
+    assert parsed["discarded"] == [18.0]
+
+
+def test_selftest_requires_both_env_vars(tmp_path):
+    """A stray BENCH_SELFTEST_VALUES alone must NOT substitute fake output
+    for a real measurement (and must not KeyError): without _STATE the
+    worker falls through to the real path, which fails fast off-TPU or
+    under the selftest guard."""
+    env = dict(
+        os.environ,
+        BENCH_ATTEMPTS="1",
+        BENCH_ATTEMPT_SCHEDULE="30",
+        BENCH_RETRY_BACKOFF_S="0",
+        BENCH_SELFTEST_VALUES="99.0",
+        BENCH_SELFTEST_FAIL="1",  # keep the fallthrough off any backend
+    )
+    env.pop("BENCH_SELFTEST_STATE", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, proc.stdout + proc.stderr
+    assert json.loads(json_lines[0])["value"] is None  # not the fake 99.0
+
+
+def test_report_spread_uses_gated_intervals_only(capsys):
+    """BENCH_r03's 155.9 'fps' spread max came from an ungated pipelined
+    interval; the spread must derive from fetch-gated iterations."""
+    times = [0.5, 0.5, 0.1, 0.6]  # 0.1 s = fetch already landed (ungated)
+    bench._report(16, times, gated=[True, True, False, True])
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["spread"] == [round(16 / 0.6, 3), round(16 / 0.5, 3)]
+    assert parsed["spread_gated_n"] == 3
+    assert parsed["n_iters"] == 4  # median still over all iterations
+
+
+def test_report_carries_device_fps(capsys):
+    bench._report(16, [0.5, 0.5], gated=[True, True], device_fps=1000.0)
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert parsed["device_fps"] == 1000.0
+    assert parsed["value"] == 32.0
 
 
 def test_parent_accepts_healthy_first_attempt_immediately(tmp_path):

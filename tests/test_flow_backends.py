@@ -80,6 +80,49 @@ def test_motion_mask_at_shipped_threshold(scenes, flows, backend, min_tnr):
     assert tnr > min_tnr, (backend, tnr)
 
 
+def test_batched_solvers_match_per_pair(scenes):
+    """The vmapped throughput forms (horn_schunck_flow_batch /
+    brox_flow_batch, VERDICT r3 #5) are the SAME math as N per-pair solves
+    — vmap only amortizes dispatch."""
+    import jax.numpy as jnp
+
+    from cp360_tpu.flow.optical_flow import (
+        horn_schunck_flow,
+        horn_schunck_flow_batch,
+    )
+    from cp360_tpu.flow.variational import brox_flow, brox_flow_batch
+
+    pairs = [(scenes[s][0], scenes[s][1]) for s in ("translation", "moving_patch")]
+    p = jnp.asarray(np.stack([a for a, _ in pairs]), jnp.float32) / 255.0
+    c = jnp.asarray(np.stack([b for _, b in pairs]), jnp.float32) / 255.0
+    for single, batched in ((horn_schunck_flow, horn_schunck_flow_batch),
+                            (brox_flow, brox_flow_batch)):
+        fb = np.asarray(batched(p, c))
+        for i in range(len(pairs)):
+            f1 = np.asarray(single(p[i], c[i]))
+            np.testing.assert_allclose(fb[i], f1, atol=5e-5)
+
+
+def test_batched_host_wrapper_matches_loop(scenes):
+    """calc_optical_flow_batched (one dispatch + one fetch) returns the
+    same (absflow, flow) tuples as N calls of the per-pair wrapper."""
+    from cp360_tpu.flow.optical_flow import (
+        calc_optical_flow_batched,
+        calc_optical_flow_device,
+    )
+
+    f1, f2, _ = scenes["translation"]
+    g1, g2, _ = scenes["moving_patch"]
+    bgr = [(np.stack([f1] * 3, -1), np.stack([f2] * 3, -1)),
+           (np.stack([g1] * 3, -1), np.stack([g2] * 3, -1))]
+    res = (f1.shape[1], f1.shape[0])
+    out_b = calc_optical_flow_batched(bgr, res=res, backend="horn_schunck")
+    for (p, c), (ab_b, fl_b) in zip(bgr, out_b):
+        ab_1, fl_1 = calc_optical_flow_device(p, c, res=res)
+        np.testing.assert_allclose(fl_b, fl_1, atol=5e-5)
+        np.testing.assert_allclose(ab_b, ab_1, atol=5e-4)
+
+
 def test_training_gradient_insensitive_to_backend(scenes, flows):
     """The actual training signal — d(total_loss)/d(predictions) — is
     near-identical whichever flow source feeds the losses (cos > 0.999 vs

@@ -179,7 +179,81 @@ def loss_sensitivity(gt, flow_by_backend, flow_h):
     return out
 
 
+def throughput_report(w, batch=8, n_iters=4):
+    """Pairs/s per backend (VERDICT r3 #5) — host loop vs device batch-1 vs
+    device vmapped batch-N.  Distinct data per iteration (the tunnel dedups
+    repeated buffers) and device timings chain through a scalar accumulator
+    (block_until_ready lies through the relay — see tools/bench_pallas.py).
+    Production rate to beat: stage-1 extraction ~31 pairs/s (BENCH_r03)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cp360_tpu.flow.optical_flow import (
+        horn_schunck_flow,
+        horn_schunck_flow_batch,
+    )
+    from cp360_tpu.flow.variational import brox_flow, brox_flow_batch
+
+    h = w // 2
+    # distinct textured pairs under the same global translation
+    n_data = max(batch, n_iters)
+    f1s = np.stack([textured(h, w, 100 + i) for i in range(n_data)])
+    gt = np.zeros((h, w, 2), np.float32)
+    gt[..., 0], gt[..., 1] = 3.0, -2.0
+    f2s = np.stack([warp_by_flow(f, gt) for f in f1s])
+
+    rows = []
+
+    def time_host(name):
+        t0 = time.time()
+        k = 0
+        for i in range(n_iters):
+            backend_flow(name, f1s[i % n_data], f2s[i % n_data])
+            k += 1
+        return k / (time.time() - t0)
+
+    def time_device(fn, arrs1, arrs2, per_call):
+        # warm/compile
+        out = fn(arrs1[0], arrs2[0])
+        float(jnp.sum(out.astype(jnp.float32) * 0))
+        acc = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        for i in range(n_iters):
+            out = fn(arrs1[i % len(arrs1)], arrs2[i % len(arrs2)])
+            acc = acc + jnp.sum(out.reshape(-1)[:8].astype(jnp.float32))
+        assert np.isfinite(float(acc))
+        return per_call * n_iters / (time.time() - t0)
+
+    rows.append(("farneback (host)", time_host("farneback")))
+
+    g1 = [jnp.asarray(f, jnp.float32) / 255.0 for f in f1s]
+    g2 = [jnp.asarray(f, jnp.float32) / 255.0 for f in f2s]
+    b1 = jnp.stack(g1[:batch])
+    b2 = jnp.stack(g2[:batch])
+    for name, fn1, fnb in (("horn_schunck", horn_schunck_flow,
+                            horn_schunck_flow_batch),
+                           ("variational", brox_flow, brox_flow_batch)):
+        rows.append((f"{name} (device, batch 1)", time_device(fn1, g1, g2, 1)))
+        rows.append((f"{name} (device, batch {batch})",
+                     time_device(fnb, [b1], [b2], batch)))
+
+    print(f"\n## Flow throughput ({w}x{h}, {n_iters} timed iters, "
+          f"device batch {batch})\n")
+    print("| backend | pairs/s |")
+    print("|---|---|")
+    for name, pps in rows:
+        print(f"| {name} | {pps:.1f} |")
+    return dict(rows)
+
+
 def main():
+    if "--throughput" in sys.argv:
+        sys.argv.remove("--throughput")
+        w = int(sys.argv[1]) if len(sys.argv) > 1 else 480
+        throughput_report(w)
+        return
     w = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     scenes = make_scenes(w)
     backends = ["farneback", "horn_schunck", "variational"]
