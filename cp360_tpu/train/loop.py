@@ -127,6 +127,30 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
     group = cfg.segment_windows
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+    pipe_mesh = None
+    if cfg.pipeline_stages > 1:
+        # Pipeline-parallel training (VERDICT r3 #7): reverse AD through
+        # pipelined_rollout's static-trip fori_loop works (ppermute/psum
+        # transpose cleanly; gradients flow back up the pipe), and the
+        # update is exact vs the serial scan — tests/test_pipeline_parallel.py.
+        # The structural constraint is the PROTOCOL's: the losses consume
+        # the trailing TMP_LOSS_LEN+1 hidden steps and the pipelined rollout
+        # returns only the last T/P chunk, so T%P==0 and T/P>=4 — which the
+        # published seq_len=5 (config.yaml:24) cannot satisfy for any P>1.
+        # Training windows batch over data anyway (dp/tp is the production
+        # axis); pp-training exists for long-sequence configs.
+        t, p = cfg.seq_len, cfg.pipeline_stages
+        if t % p or t // p < TMP_LOSS_LEN + 1:
+            raise ValueError(
+                f"pipeline_stages={p} needs seq_len divisible by it with "
+                f"seq_len/stages >= {TMP_LOSS_LEN + 1} (losses consume the "
+                f"trailing {TMP_LOSS_LEN + 1} steps of the last pipe chunk); "
+                f"seq_len={t} cannot pipeline — the published seq_len=5 "
+                f"protocol trains dp/tp (see PARITY.md walls)")
+        from cp360_tpu.parallel.pipeline import make_pipe_mesh, pipelined_rollout
+
+        pipe_mesh = make_pipe_mesh(p)
+
     def loss_fn(params, seq, flows):
         # accept f16 batches (half the host->device bytes) or int8
         # Quantized pytrees (transfer_codec, ops/quantize.py — the f32
@@ -155,10 +179,20 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
         x = jnp.moveaxis(seqn, 1, 0)  # [T, B, 6, h, w, C]
         x = x.reshape(t, b * 6, *x.shape[3:])
         h0 = c0 = x[0]
-        hiddens, _, _ = clstm_rollout(
-            params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat,
-            compute_dtype=compute_dtype, conv_impl=cfg.clstm_conv_impl,
-        )
+        if pipe_mesh is not None:
+            import math
+
+            n_micro = max(1, math.gcd(b, cfg.pipeline_microbatches))
+            hiddens, _, _ = pipelined_rollout(
+                params, x, h0, c0, pipe_mesh, n_micro,
+                use_cube_pad=use_cp, compute_dtype=compute_dtype,
+                conv_impl=cfg.clstm_conv_impl,
+            )  # last T/P chunk — >= TMP_LOSS_LEN+1 steps by construction
+        else:
+            hiddens, _, _ = clstm_rollout(
+                params, x, h0, c0, use_cube_pad=use_cp, remat=cfg.train_remat,
+                compute_dtype=compute_dtype, conv_impl=cfg.clstm_conv_impl,
+            )
 
         preds = predictions_from_hiddens(hiddens, b)  # [K+1, B, 2w, 4w]
         # Pairs use flows at window positions 1..K (train_temporal.py:104-124).

@@ -89,6 +89,57 @@ def test_stream_pipeline_stages_matches_serial(tmp_path):
                                    arch="resnet18"))
 
 
+def test_pipelined_training_step_matches_serial():
+    """pipeline_stages > 1 reaches TRAINING (VERDICT r3 #7): reverse AD
+    flows back up the pipe (ppermute/psum transposes), and the optimizer
+    update is EXACT vs the serial-scan step — loss and post-SGD params.
+    seq_len=8 over 2 stages leaves a 4-step last chunk, exactly the
+    TMP_LOSS_LEN+1 steps the losses consume."""
+    import optax
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.train.loop import make_train_step
+
+    C, T, B = 8, 8, 4
+    rng = np.random.RandomState(7)
+    seq = rng.rand(B, T, 6, 7, 7, C).astype(np.float32)
+    flows = (rng.randn(B, T, 16, 32, 2) * 2).astype(np.float32)
+    base = Config(input_size=C, hidden_size=C, flow_h=16, lr=1e-3,
+                  compute_dtype="float32", seq_len=T)
+    opt = optax.sgd(base.lr)  # linear in the gradient: update equality
+    # == gradient equality (same discipline as test_train_segment)
+    params = jax.device_get(init_clstm_params(jax.random.PRNGKey(0), C, C))
+
+    step_serial = make_train_step(base, opt)
+    p0 = jax.device_put(params)
+    p1, _, m1 = step_serial(p0, opt.init(p0), jnp.asarray(seq), jnp.asarray(flows))
+
+    step_pipe = make_train_step(
+        base.replace(pipeline_stages=2, pipeline_microbatches=2), opt)
+    p0 = jax.device_put(params)
+    p2, _, m2 = step_pipe(p0, opt.init(p0), jnp.asarray(seq), jnp.asarray(flows))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["gates"]["w"]),
+                               np.asarray(p2["gates"]["w"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p1["gates"]["b"]),
+                               np.asarray(p2["gates"]["b"]), atol=1e-6)
+
+
+def test_pipelined_training_rejects_published_seq_len():
+    """The published seq_len=5 protocol cannot satisfy T%P==0 with a
+    >=4-step last chunk for any P>1 — make_train_step names the wall
+    instead of producing a wrong or crashing graph."""
+    import optax
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.train.loop import make_train_step
+
+    cfg = Config(seq_len=5, pipeline_stages=5)
+    with pytest.raises(ValueError, match="seq_len=5 cannot pipeline"):
+        make_train_step(cfg, optax.sgd(1e-3))
+
+
 def test_pipelined_validates_divisibility(setup):
     params, seq, h0, c0 = setup
     mesh = make_pipe_mesh(4)
