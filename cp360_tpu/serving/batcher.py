@@ -62,7 +62,9 @@ class DynamicBatcher:
         # batches/items/max_group are written only by the worker thread;
         # timeouts by caller threads (GIL-atomic enough for monitoring) —
         # readers see a consistent-enough snapshot for /healthz and tests
-        self.stats = {"batches": 0, "items": 0, "max_group": 0, "timeouts": 0}
+        self.stats = {"batches": 0, "items": 0, "max_group": 0, "timeouts": 0,
+                      "busy_s": 0.0}  # cumulative seconds inside run_batch
+        # (occupancy: busy_s / wall — how loaded the device worker is)
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._busy_since: float | None = None
@@ -158,7 +160,7 @@ class DynamicBatcher:
                     entry[1].exc = RuntimeError("batcher is closed")
                     entry[1].event.set()
             items = [item for item, _ in group]
-            self._busy_since = time.monotonic()
+            self._busy_since = t0 = time.monotonic()
             try:
                 results = self._run_batch(items)
                 if len(results) != len(items):
@@ -172,6 +174,7 @@ class DynamicBatcher:
                 continue
             finally:
                 self._busy_since = None
+                self.stats["busy_s"] += time.monotonic() - t0
             self.stats["batches"] += 1
             self.stats["items"] += len(items)
             self.stats["max_group"] = max(self.stats["max_group"], len(items))

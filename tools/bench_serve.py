@@ -12,9 +12,17 @@ No reference analogue (the reference has no serving stack, SURVEY.md §2).
 
 Usage: python tools/bench_serve.py [n_requests=24] [concurrency=4]
            [max_batch=4] [--temporal]
+       python tools/bench_serve.py --sweep [n_per_client=8] [max_batch=8]
 Prints one JSON line per phase.  max_batch bounds warmup cost: every
 power-of-two bucket up to it is a separate remote compile (0.5–4 min each
 through this host's helper — see CLAUDE.md).
+
+``--sweep`` (VERDICT r3 #6): serving under load — 1/4/16 clients, MIXED
+workload (half `/saliency`, half temporal streaming sessions), with
+``serve_request_timeout_s`` armed.  Per level it reports p50/p99 request
+latency, achieved requests/s, mean & max coalesced batch, device-worker
+occupancy (batcher busy_s / wall), and the 504 count (must be 0 at steady
+state on a healthy tunnel).
 """
 
 import io
@@ -38,6 +46,125 @@ def _post(port, path, body, timeout=120):
     conn.close()
     assert resp.status == 200, (resp.status, data[:200])
     return data
+
+
+def _post_status(port, path, body, timeout=300):
+    """Like _post but returns (status, data) — the sweep counts 504s."""
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", path, body=body, headers={"Content-Type": "image/jpeg"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def sweep_main():
+    import jax
+
+    if os.environ.get("BENCH_SERVE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_SERVE_PLATFORM"])
+
+    from PIL import Image
+
+    from cp360_tpu.config import Config
+    from cp360_tpu.models.clstm import init_clstm_params
+    from cp360_tpu.models.resnet import init_resnet_params
+    from cp360_tpu.serving.server import SaliencyModel, serve
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_per = int(args[0]) if len(args) > 0 else 8
+    max_batch = int(args[1]) if len(args) > 1 else 8
+    levels = [int(x) for x in
+              os.environ.get("BENCH_SERVE_LEVELS", "1,4,16").split(",")]
+
+    cfg = Config(compute_dtype="bfloat16", upload_format="yuv420",
+                 serve_max_batch=max_batch,
+                 serve_request_timeout_s=float(
+                     os.environ.get("BENCH_SERVE_TIMEOUT_S", "180")))
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet50")
+    clstm = init_clstm_params(jax.random.PRNGKey(1), 1000, 1000)
+    model = SaliencyModel(params, cfg, arch="resnet50", clstm_params=clstm)
+    t0 = time.time()
+    httpd = serve(model, host="127.0.0.1", port=0, warmup=True)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    print(f"serve: warmup {time.time()-t0:.0f}s, port {port}", file=sys.stderr)
+
+    def jpeg(r):
+        img = Image.fromarray((r.rand(960, 1920, 3) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG")
+        return buf.getvalue()
+
+    for conc in levels:
+        n_sal = max(1, (conc + 1) // 2)  # mixed: ceil half saliency ...
+        n_tmp = conc - n_sal             # ... floor half temporal sessions
+        lats, fails = [], []
+        lock = threading.Lock()
+
+        def sal_client(seed):
+            r = np.random.RandomState(seed)
+            for _ in range(n_per):
+                body = jpeg(r)
+                t = time.time()
+                status, _ = _post_status(port, "/saliency", body)
+                with lock:
+                    (lats if status == 200 else fails).append(time.time() - t)
+
+        def tmp_client(seed):
+            r = np.random.RandomState(seed)
+            status, data = _post_status(port, "/temporal/session", b"")
+            if status != 200:
+                with lock:
+                    fails.append(0.0)
+                return
+            sid = json.loads(data)["session"]
+            for _ in range(n_per):
+                body = jpeg(r)
+                t = time.time()
+                status, _ = _post_status(port, f"/temporal/frame?session={sid}",
+                                         body)
+                with lock:
+                    (lats if status == 200 else fails).append(time.time() - t)
+            _post_status(port, f"/temporal/close?session={sid}", b"")
+
+        # fresh per-run seeds: the tunnel content-dedups repeated buffers
+        # across runs, which would fake the upload cost
+        seeds = [int.from_bytes(os.urandom(4), "little")
+                 for _ in range(conc)]
+        s0 = dict(model._batcher.stats)
+        st0 = dict(model._temporal_batcher.stats)
+        ths = ([threading.Thread(target=sal_client, args=(seeds[i],))
+                for i in range(n_sal)]
+               + [threading.Thread(target=tmp_client, args=(seeds[n_sal + i],))
+                  for i in range(n_tmp)])
+        t0 = time.time()
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        wall = time.time() - t0
+        s1 = dict(model._batcher.stats)
+        st1 = dict(model._temporal_batcher.stats)
+        d_items = (s1["items"] - s0["items"]) + (st1["items"] - st0["items"])
+        d_batches = ((s1["batches"] - s0["batches"])
+                     + (st1["batches"] - st0["batches"]))
+        d_busy = (s1["busy_s"] - s0["busy_s"]) + (st1["busy_s"] - st0["busy_s"])
+        print(json.dumps({
+            "metric": "serve_sweep",
+            "clients": conc,
+            "mix": {"saliency": n_sal, "temporal_sessions": n_tmp},
+            "requests": len(lats),
+            "http_504": len(fails),
+            "requests_per_s": round(len(lats) / wall, 2),
+            "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+            "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
+            "mean_batch": round(d_items / max(1, d_batches), 2),
+            "max_group": max(s1["max_group"], st1["max_group"]),
+            "occupancy": round(d_busy / wall, 3),
+        }), flush=True)
+
+    httpd.shutdown()
 
 
 def main():
@@ -171,4 +298,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv:
+        sweep_main()
+    else:
+        main()
