@@ -51,18 +51,26 @@ _QMAX = 127.0
 _INV_QMAX = np.float32(1.0) / np.float32(_QMAX)
 
 
-def quantize_cam(x: jax.Array):
+def quantize_cam(x: jax.Array, scale_dtype=jnp.float32):
     """Quantize feature planes per (…, channel): [..., h, w, C] float ->
-    (q int8 [..., h, w, C], scales f32 [..., 1, 1, C]).
+    (q int8 [..., h, w, C], scales ``scale_dtype`` [..., 1, 1, C]).
 
     Jit-friendly (runs inside the stage-1 device step so only int8 + the
     tiny scale tensor cross D2H).  A constant-zero channel gets scale 1/127
     and quantizes to exact zeros.
+
+    ``scale_dtype=jnp.float16`` halves the scale stream (~3% of the stage-1
+    D2H budget — the last cheap link lever, PARITY's budget table): the
+    scale is rounded to f16 FIRST and the planes quantize against the
+    rounded value, so the codec stays self-consistent — the only effect is
+    a ≤2^-11 relative change of the step size, keeping the worst-case error
+    at ~amax/253.
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=(-3, -2), keepdims=True)
-    scales = jnp.where(amax > 0.0, amax, 1.0) * _INV_QMAX
-    q = jnp.clip(jnp.round(xf / scales), -_QMAX, _QMAX).astype(jnp.int8)
+    scales = (jnp.where(amax > 0.0, amax, 1.0) * _INV_QMAX).astype(scale_dtype)
+    q = jnp.clip(jnp.round(xf / scales.astype(jnp.float32)),
+                 -_QMAX, _QMAX).astype(jnp.int8)
     return q, scales
 
 
@@ -83,13 +91,15 @@ def maybe_dequantize(x, dtype=jnp.float32) -> jax.Array:
     return x.astype(dtype)
 
 
-def quantize_cam_np(x: np.ndarray):
+def quantize_cam_np(x: np.ndarray, scale_dtype=np.float32):
     """Host-side :func:`quantize_cam` (same math; used on the stage-2 IO
     thread so quantization overlaps disk reads)."""
     xf = np.asarray(x, dtype=np.float32)
     amax = np.max(np.abs(xf), axis=(-3, -2), keepdims=True)
-    scales = np.where(amax > 0.0, amax, 1.0).astype(np.float32) * _INV_QMAX
-    q = np.clip(np.round(xf / scales), -_QMAX, _QMAX).astype(np.int8)
+    scales = (np.where(amax > 0.0, amax, 1.0).astype(np.float32)
+              * _INV_QMAX).astype(scale_dtype)
+    q = np.clip(np.round(xf / scales.astype(np.float32)),
+                -_QMAX, _QMAX).astype(np.int8)
     return q, scales
 
 

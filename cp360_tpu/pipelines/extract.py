@@ -73,7 +73,10 @@ def stage1_batch_faces(
     if codec == "int8":
         from cp360_tpu.ops.quantize import quantize_cam
 
-        q, scales = quantize_cam(scores)
+        # f16 scales: transfer-only stream (host dequantizes right after
+        # D2H), halves the scale bytes (~3% of the frame's D2H budget —
+        # PARITY link-budget table) at <=2^-11 step-size change
+        q, scales = quantize_cam(scores, scale_dtype=jnp.float16)
         return q, scales, sal
     return scores.astype(out_dtype), sal
 
@@ -232,7 +235,10 @@ def stage1_batch_faces_yuv(
     if codec == "int8":
         from cp360_tpu.ops.quantize import quantize_cam
 
-        q, scales = quantize_cam(scores)
+        # f16 scales: transfer-only stream (host dequantizes right after
+        # D2H), halves the scale bytes (~3% of the frame's D2H budget —
+        # PARITY link-budget table) at <=2^-11 step-size change
+        q, scales = quantize_cam(scores, scale_dtype=jnp.float16)
         return q, scales, sal
     return scores.astype(out_dtype), sal
 

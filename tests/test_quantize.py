@@ -71,9 +71,31 @@ def test_stage1_codec_bounds():
     scores, sal = stage1_batch_faces(params, faces, codec="none", **kw)
     q, scales, sal_q = stage1_batch_faces(params, faces, codec="int8", **kw)
     np.testing.assert_array_equal(np.asarray(sal), np.asarray(sal_q))
+    assert np.asarray(scales).dtype == np.float16  # the ~3% D2H scale lever
     scores, back = np.asarray(scores), dequantize_cam_np(np.asarray(q), np.asarray(scales))
     amax = np.max(np.abs(scores), axis=(-3, -2), keepdims=True)
-    assert np.all(np.abs(back - scores) <= np.where(amax > 0, amax, 1.0) / 254.0 + 1e-6)
+    # /253 not /254: the f16-rounded scale widens the step by <=2^-11
+    assert np.all(np.abs(back - scores) <= np.where(amax > 0, amax, 1.0) / 253.0 + 1e-6)
+
+
+def test_f16_scales_roundtrip_and_host_device_identity():
+    """scale_dtype=float16 (the stage-1 transfer lever): planes quantize
+    against the ROUNDED scale, so the codec stays self-consistent — the
+    round-trip bound only widens by the f16 step-size rounding (<=2^-11),
+    and host/device quantizers remain bit-identical."""
+    x = _cases()["signed+outliers"]
+    q_np, s_np = quantize_cam_np(x, scale_dtype=np.float16)
+    assert s_np.dtype == np.float16 and s_np.nbytes == s_np.size * 2
+    back = dequantize_cam_np(q_np, s_np)
+    amax = np.max(np.abs(x), axis=(-3, -2), keepdims=True)
+    bound = np.where(amax > 0, amax, 1.0) / 253.0
+    assert np.all(np.abs(back - x) <= bound + 1e-7)
+    assert np.all(back[x == 0.0] == 0.0)
+
+    q_j, s_j = jax.jit(lambda v: quantize_cam(v, scale_dtype=jnp.float16))(
+        jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(q_j), q_np)
+    np.testing.assert_array_equal(np.asarray(s_j), s_np)
 
 
 @pytest.fixture(scope="module")
