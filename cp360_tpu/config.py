@@ -79,6 +79,11 @@ class Config:
     #   32 regresses)
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
     flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'variational' (TPU) | 'deepflow'
+    flow_link_dtype: str = "float16"  # device flow backends only: dtype the
+    #   solved flow crosses D2H in during extraction (the flow plane is the
+    #   dominant per-frame D2H when -om is on: f32 [480,960,2] ~ 3.7 MB);
+    #   float16 halves it at ~1e-3 relative error (<0.05 px at the scene
+    #   scale); the on-disk motion artifact stays float32 either way
     checkpoint_backend: str = "npz"  # 'npz' (portable) | 'orbax' (async+sharded)
     clstm_conv_impl: str = "xla"  # 'xla' | 'pallas' (fused cube-pad+conv kernel)
     keep_checkpoints: int = 0  # prune CLSTM_* weight snapshots beyond the

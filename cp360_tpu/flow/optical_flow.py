@@ -16,7 +16,7 @@ which is not available in this OpenCV build (no cv2.optflow).  We provide:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -388,6 +388,39 @@ def calc_optical_flow_batched(
 
     flows = fetch_np(solve(prev, cur))
     return [(_postprocess_magnitude(f), f) for f in flows]
+
+
+def get_batch_solver_u8(backend: str, link_dtype: str = "float32"):
+    """Jitted uint8-pair batch solver for the extraction pipeline:
+    ([N,H,W] u8, [N,H,W] u8) -> [N,H,W,2] flow in ``link_dtype``.
+
+    Grayscale pairs upload as uint8 (4x fewer H2D bytes than f32);
+    normalization and the final link-dtype cast run in-graph, so with
+    ``link_dtype='float16'`` the dominant flow D2H halves too.  Cached per
+    (backend, dtype) so per-video calls reuse one jit cache entry
+    (a fresh closure per video would retrace every time).
+    """
+    return _batch_solver_u8_cached(backend, link_dtype)
+
+
+@lru_cache(maxsize=8)
+def _batch_solver_u8_cached(backend: str, link_dtype: str):
+    if backend == "horn_schunck":
+        solve = horn_schunck_flow_batch
+    elif backend == "variational":
+        from cp360_tpu.flow.variational import brox_flow_batch
+
+        solve = brox_flow_batch
+    else:
+        raise ValueError(f"no device batch solver for backend {backend!r}")
+    dt = jnp.float16 if link_dtype == "float16" else jnp.float32
+
+    @jax.jit
+    def fn(prev_u8, cur_u8):
+        return solve(prev_u8.astype(jnp.float32) / 255.0,
+                     cur_u8.astype(jnp.float32) / 255.0).astype(dt)
+
+    return fn
 
 
 def get_flow_fn(backend: str = "farneback"):

@@ -394,14 +394,24 @@ def extract_video(
     # releases the GIL, so frame pairs run across a worker pool.  DEVICE
     # flow backends must NOT run on the pool: their H2D/D2H would race the
     # main thread's batch transfers, and client-thread-concurrent
-    # transfers intermittently wedge this relay (see assemble()) — they
-    # run synchronously on the main thread instead (serialized with the
-    # device step; at ~0.1 s/pair they dominate extraction wall-clock,
-    # which is why farneback stays the production default here).
+    # transfers intermittently wedge this relay (see assemble()) — instead
+    # (round 4) the whole extraction batch of pairs solves in ONE vmapped
+    # dispatch on the main thread (flow/optical_flow.py batch solvers),
+    # with only the host resize/grayscale preprocessing on a pool, and the
+    # solved flow crossing D2H asynchronously in cfg.flow_link_dtype.
     device_flow = cfg.flow_backend in ("horn_schunck", "variational")
     flow_pool = (ThreadPoolExecutor(max_workers=cfg.processes)
                  if cfg.opt_flow and output_motion and not device_flow else None)
     flow_inline = cfg.opt_flow and output_motion and device_flow
+    flow_prep_pool = (ThreadPoolExecutor(max_workers=max(2, cfg.processes))
+                      if flow_inline else None)
+    if flow_inline:
+        from cp360_tpu.flow.optical_flow import (
+            _preprocess_pair,
+            get_batch_solver_u8,
+        )
+
+        flow_solver = get_batch_solver_u8(cfg.flow_backend, cfg.flow_link_dtype)
     # cube remap is the next-slowest host stage (~12 ms/frame): submit it
     # per-frame at decode time so it overlaps decode + the previous batch's
     # transfer/compute instead of serializing inside submit()
@@ -438,6 +448,8 @@ def extract_video(
         cap.release()
         if flow_pool is not None:
             flow_pool.shutdown(wait=False)
+        if flow_prep_pool is not None:
+            flow_prep_pool.shutdown(wait=False)
         if remap_pool is not None:
             remap_pool.shutdown(wait=False)
         raise
@@ -454,6 +466,12 @@ def extract_video(
         if pending is None:
             return
         cnts, dev_out, pil_imgs, flows = pending
+        if isinstance(flows, tuple) and flows and flows[0] == "batched_flow":
+            _, dev_flow, n_valid = flows
+            flow_np = fetch_np(dev_flow)
+            # (absflow, flow) per frame like the per-pair wrappers; only
+            # flow ([..., 2]) feeds the motion artifact below
+            flows = [(None, flow_np[k]) for k in range(n_valid)]
         if len(dev_out) == 3:  # transfer_codec=int8: (q, scales, sal) crossed D2H
             from cp360_tpu.ops.quantize import dequantize_cam_np
 
@@ -529,7 +547,20 @@ def extract_video(
         # D2H starts NOW, overlapping the next batches' H2D/compute (the
         # synchronous fetch path is ~20x slower on this tunnel)
         async_start(*dev_out)
-        return (cnts, dev_out, [b[2] for b in batch], [b[3] for b in batch])
+        flows = [b[3] for b in batch]
+        if flow_inline:
+            # one vmapped solve for the whole batch of pairs: uint8 grays
+            # up, flow down in cfg.flow_link_dtype, fetched async with the
+            # CAM outputs (the per-pair dispatch was ~0.1 s/pair — the old
+            # extraction wall for device flow)
+            pairs = [f.result() for f in flows]
+            n_valid = len(pairs)
+            pairs = pairs + [pairs[-1]] * (batch_frames - n_valid)
+            dev_flow = flow_solver(np.stack([p[0] for p in pairs]),
+                                   np.stack([p[1] for p in pairs]))
+            async_start(dev_flow)
+            flows = ("batched_flow", dev_flow, n_valid)
+        return (cnts, dev_out, [b[2] for b in batch], flows)
 
     from collections import deque
 
@@ -574,8 +605,13 @@ def extract_video(
                 flow = flow_pool.submit(
                     flow_fn, prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h)
                 )
-            elif flow_inline:  # device backend: main-thread transfers only
-                flow = flow_fn(prev_bgr, frame, res=(cfg.flow_h * 2, cfg.flow_h))
+            elif flow_inline:
+                # device backend: only the host resize/grayscale runs on a
+                # pool; the whole batch of pairs solves in ONE vmapped
+                # dispatch in compute() (main-thread transfers only)
+                flow = flow_prep_pool.submit(
+                    _preprocess_pair, prev_bgr, frame,
+                    (cfg.flow_h * 2, cfg.flow_h))
             faces_fut = (remap_pool.submit(remap_job, frame_u8)
                          if remap_pool is not None else None)
             batch.append((cnt, frame_u8, pil_img, flow, faces_fut))
@@ -601,6 +637,8 @@ def extract_video(
         upload_pool.shutdown(wait=ok_done)
         if flow_pool is not None:
             flow_pool.shutdown(wait=ok_done)
+        if flow_prep_pool is not None:
+            flow_prep_pool.shutdown(wait=ok_done)
         if remap_pool is not None:
             remap_pool.shutdown(wait=ok_done)
     log_fn(f"{vid_path}: {written} frames in {time.time() - t_start:.1f}s")

@@ -58,6 +58,54 @@ def test_extract_video_artifacts(video, cfg, tmp_path):
     assert os.path.exists(os.path.join(out, "000002.jpg"))  # overlay
 
 
+def test_device_flow_batched_matches_per_pair(video, cfg, tmp_path):
+    """Device flow backends solve the whole extraction batch in ONE vmapped
+    dispatch (round 4); with flow_link_dtype=float32 the motion artifacts
+    are IDENTICAL to the per-pair wrapper on the same frames, and the f16
+    link default stays within its documented relative bound."""
+    from cp360_tpu.flow.optical_flow import calc_optical_flow_device
+
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    out = str(tmp_path / "dflow")
+    cfg_d = cfg.replace(flow_backend="horn_schunck",
+                        flow_link_dtype="float32")
+    n = extract_video(params, cfg_d, video, out, output_img=False,
+                      output_feature=False, output_motion=True,
+                      arch="resnet18", batch_frames=4)
+    assert n == 6
+
+    cap = cv2.VideoCapture(video)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    for k in range(1, len(frames)):
+        got = np.load(os.path.join(out, "motion", f"{k + 1:06}.npy"))
+        _, want = calc_optical_flow_device(
+            frames[k - 1], frames[k], res=(cfg.flow_h * 2, cfg.flow_h))
+        # 1e-3 px: the u8->f32/255 normalization runs IN-GRAPH on the
+        # batched path (different XLA fusion than the host-side divide of
+        # the per-pair wrapper), and f32 solver sweeps amplify the 1-ulp
+        # input difference; measured max delta ~1.5e-4 px
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    # f16 link (the default): halved D2H, error ~1e-3 relative to the
+    # flow's own scale
+    out16 = str(tmp_path / "dflow16")
+    extract_video(params, cfg.replace(flow_backend="horn_schunck"), video,
+                  out16, output_img=False, output_feature=False,
+                  output_motion=True, arch="resnet18", batch_frames=4)
+    for k in range(1, len(frames)):
+        a = np.load(os.path.join(out, "motion", f"{k + 1:06}.npy"))
+        b = np.load(os.path.join(out16, "motion", f"{k + 1:06}.npy"))
+        assert b.dtype == np.float32  # disk artifact stays f32
+        scale = max(1e-3, np.abs(a).max())
+        assert np.abs(a - b).max() <= 2e-3 * scale + 1e-4
+
+
 def test_fast_path_close_to_exact_path(cfg):
     rng = np.random.RandomState(1)
     frames = (rng.rand(2, 128, 256, 3) * 255).astype(np.uint8)

@@ -13,11 +13,15 @@ validation pass after a tunnel outage is one invocation:
 Usage: python tools/bench_all.py [--quick] [--out report.json]
 
 Benches (each optional-skipped on failure, the runner always finishes):
-  stage1    bench.py (the driver headline: frames/s, int8 codec default)
+  stage1    bench.py (the driver headline: frames/s, int8 codec default;
+            carries the compute-only device_fps field since round 4)
   stage1_exact  bench.py BENCH_CODEC=none (same-phase exact-path pair)
   stage2    tools/bench_stage2.py (device-resident windows/s)
   stream    tools/bench_stream.py (fused stage1+2 streaming fps)
   train     tools/bench_train.py (device-resident windows/s)
+  link      tools/measure_link.py (H2D/D2H/duplex MB/s + budget table)
+  flow      tools/flow_backend_report.py --throughput (pairs/s, batched)
+  serve     tools/bench_serve.py --sweep (1/4/16-client mixed load)
 """
 
 import argparse
@@ -115,6 +119,12 @@ def main():
         ("stream", [py, "tools/bench_stream.py"], {}, 480),
         # batch 16 is the measured saturation point (PARITY.md)
         ("train", [py, "tools/bench_train.py", "16", "8"], {}, 540),
+        ("link", [py, "tools/measure_link.py"], {}, 480),
+        ("flow", [py, "tools/flow_backend_report.py", "--throughput", "480"],
+         {}, 580),
+        # max_batch 4 bounds warmup: each power-of-two bucket is a separate
+        # remote compile for BOTH the saliency and the temporal batcher
+        ("serve", [py, "tools/bench_serve.py", "--sweep", "6", "4"], {}, 900),
     ]
     report = {"healthy": True, "ts": time.time(), "results": {}}
     for name, cmd, extra_env, budget in benches:
