@@ -201,7 +201,7 @@ def window_infer_from_frames_q(
 ) -> jax.Array:
     """:func:`window_infer_from_frames` fed by the int8 transfer codec.
 
-    Frames arrive as (q int8 [F,6,h,w,C], scales f32 [F,6,1,1,C]) — half
+    Frames arrive as (q int8 [F,6,h,w,C], scales f16/f32 [F,6,1,1,C]) — half
     the H2D bytes of the f16 form on the link-bound disk path
     (ops/quantize.py); the window gather runs on int8 (half the gather
     bytes too) and dequantization happens in-graph.
@@ -304,7 +304,10 @@ def infer_video(
         if transfer_codec == "int8":
             from cp360_tpu.ops.quantize import quantize_cam_np
 
-            return b0, valid, quantize_cam_np(frames), positions
+            # f16 scales: transfer-only (dequantized in-graph right after
+            # H2D) — shaves ~4% more off the link bytes at <=2^-11
+            # step-size change (ops/quantize.py)
+            return b0, valid, quantize_cam_np(frames, np.float16), positions
         return b0, valid, frames, positions
 
     # prefetch ring: up to ``prefetch_depth`` batches of artifacts are read
