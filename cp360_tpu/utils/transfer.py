@@ -10,7 +10,37 @@ forgotten.  (No reference analogue — torch .cpu() has no such trap.)
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
+
+
+def warm_link(verbose: bool = True) -> float:
+    """Absorb the tunnel's per-process cold-fetch wedge; return its seconds.
+
+    Measured 2026-08-19 (degraded-tunnel phase): the FIRST device->host
+    fetch of a fresh process wedges 100-420 s, after which every fetch in
+    the same process is normal (~0.03 s for 64 values).  Any tool that
+    *times* transfers or serves latency-sensitive traffic must call this
+    once at startup so the wedge lands outside the timed section.  Runs a
+    tiny distinct-data matmul (the tunnel content-dedups repeated buffers)
+    and fetches 8x8 of the result; no-op cost (~1 s) on a healthy tunnel
+    or on CPU.  (No reference analogue — a PCIe host has no relay.)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(os.getpid() & 0x7FFFFFFF)
+    x = jnp.asarray(rs.rand(256, 256), jnp.bfloat16)
+    t0 = time.time()
+    y = (x @ x).block_until_ready()
+    np.asarray(y[:8, :8])
+    dt = time.time() - t0
+    if verbose and dt > 5.0:
+        print(f"warm_link: absorbed a {dt:.0f}s cold first-fetch "
+              f"(degraded-tunnel phase; see RUNBOOK.md)", flush=True)
+    return dt
 
 
 def async_start(*arrays) -> None:

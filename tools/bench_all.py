@@ -43,12 +43,23 @@ import numpy as np
 # distinct payload per invocation: the tunnel content-dedups repeated
 # buffers, so a fixed-seed probe would stop exercising the link after the
 # first run and could pass on a degraded tunnel
-x = jnp.asarray(np.random.RandomState(os.getpid() & 0x7FFFFFFF).rand(1024, 1024), jnp.bfloat16)
+rs = np.random.RandomState(os.getpid() & 0x7FFFFFFF)
+x = jnp.asarray(rs.rand(1024, 1024), jnp.bfloat16)
+# first fetch separately: in degraded-tunnel phases the FIRST D2H of a
+# process wedges 100-420 s and then everything is normal (measured
+# 2026-08-19; utils/transfer.py::warm_link) — health is judged on the
+# SECOND, warm fetch, and the cold time is reported so the runner can
+# extend per-bench budgets (every bench subprocess pays it once)
 t0 = time.time()
 y = (x @ x).block_until_ready()
-np.asarray(y[:8, :8])  # force a real fetch through the tunnel
+np.asarray(y[:8, :8])
+t_cold = time.time() - t0
+x2 = jnp.asarray(rs.rand(1024, 1024), jnp.bfloat16)
+t0 = time.time()
+y2 = (x2 @ x2).block_until_ready()
+np.asarray(y2[:8, :8])  # force a real fetch through the tunnel
 t_mm = time.time() - t0
-print(f"PROBE_OK devices={len(d)} dev_s={t_dev:.1f} mm_s={t_mm:.1f}")
+print(f"PROBE_OK devices={len(d)} dev_s={t_dev:.1f} cold_s={t_cold:.1f} mm_s={t_mm:.1f}")
 sys.exit(0 if t_mm < 30 else 4)
 """
 
@@ -66,7 +77,12 @@ def run(cmd, timeout, env=None):
     return out, rc, time.time() - t0, t0
 
 
-def probe(timeout=120):
+def probe(timeout=600):
+    """Bounded health probe. Returns (healthy, cold_fetch_s).
+
+    cold_fetch_s is the per-process first-fetch wedge (0-ish when the
+    tunnel is fully healthy, 100-420 s in the degraded phase); callers add
+    it to every subprocess budget since each bench pays it once."""
     env = dict(os.environ)
     if env.get("CP360_ALLOW_COMPILE_CACHE") != "1":
         # measure the tunnel, not the compile-cache wedge (deserialized
@@ -76,9 +92,12 @@ def probe(timeout=120):
     out, rc, dur, _ = run([sys.executable, "-c", PROBE], timeout, env=env)
     healthy = rc == 0 and "PROBE_OK" in out
     line = next((ln for ln in out.splitlines() if "PROBE_OK" in ln), out[-200:])
+    cold_s = 0.0
+    if "cold_s=" in line:
+        cold_s = float(line.split("cold_s=")[1].split()[0])
     print(f"probe: {'HEALTHY' if healthy else 'UNHEALTHY'} ({dur:.0f}s) {line}",
           file=sys.stderr)
-    return healthy
+    return healthy, cold_s
 
 
 def last_json_line(out):
@@ -101,12 +120,22 @@ def main():
     args = ap.parse_args()
     skip = set(filter(None, args.skip.split(",")))
 
-    if not probe():
+    healthy, cold_s = probe()
+    if not healthy:
         print("tunnel unhealthy — refusing to burn bench budgets; re-run "
               "when the probe passes", file=sys.stderr)
         json.dump({"healthy": False, "ts": time.time()},
                   open(args.out, "w"))
         return 4
+
+    # degraded (cold-first-fetch) phase: every bench subprocess pays one
+    # cold fetch before its warmup, so extend every budget by a cold
+    # allowance and push bench.py's in-worker watchdog out by the same
+    cold_allow = 0
+    if cold_s > 30:
+        cold_allow = max(540, int(2 * cold_s))
+        print(f"probe: degraded phase (cold first-fetch {cold_s:.0f}s) — "
+              f"adding {cold_allow}s to every bench budget", file=sys.stderr)
 
     py = sys.executable
     attempts = "1" if args.quick else "2"
@@ -126,11 +155,16 @@ def main():
         # remote compile for BOTH the saliency and the temporal batcher
         ("serve", [py, "tools/bench_serve.py", "--sweep", "6", "4"], {}, 900),
     ]
-    report = {"healthy": True, "ts": time.time(), "results": {}}
+    report = {"healthy": True, "ts": time.time(), "results": {},
+              "cold_fetch_s": round(cold_s, 1)}
     for name, cmd, extra_env, budget in benches:
         if name in skip:
             continue
         env = dict(os.environ, **extra_env)
+        budget += cold_allow
+        if cold_allow and cmd[1] == "bench.py":
+            # keep the in-worker wall-clock watchdog beyond the cold fetch
+            env.setdefault("BENCH_HARD_S", str(540 + cold_allow))
         print(f"=== {name}: {' '.join(cmd)} (budget {budget}s)",
               file=sys.stderr)
         out, rc, dur, t0 = run(cmd, budget, env)
@@ -142,7 +176,11 @@ def main():
         }
         print(f"=== {name}: rc={rc} {dur:.0f}s -> {parsed}", file=sys.stderr)
         # re-probe between benches: a wedged phase poisons what follows
-        if not probe():
+        # (each re-probe is a fresh process, so it re-pays the cold fetch —
+        # that is the point: it measures what the NEXT bench will see)
+        healthy, cold_s = probe()
+        cold_allow = max(540, int(2 * cold_s)) if cold_s > 30 else 0
+        if not healthy:
             report["degraded_after"] = name
             print("tunnel degraded mid-run — stopping; the remaining "
                   "benches would measure the outage, not the code",
