@@ -224,7 +224,8 @@ def _worker_main():
               f"{len(times)} completed iterations (tunnel wedge?)",
               file=sys.stderr)
     if len(times) >= 1:
-        _report(batch, list(times), list(state["gated"]), state["device_fps"])
+        _report(batch, list(times), list(state["gated"]),
+                state["device_fps"], state.get("device_mode"))
     else:
         print(json.dumps({
             "metric": "stage1_frames_per_sec", "value": None,
@@ -250,7 +251,7 @@ def _baseline_fps():
     return _BASELINE_CACHE[0]
 
 
-def _report(batch, times, gated=None, device_fps=None):
+def _report(batch, times, gated=None, device_fps=None, device_mode=None):
     fps = batch / float(np.median(times))
     # spread over FETCH-GATED iterations only — in the pipelined steady
     # state an iteration whose async D2H already landed has an ungated wall
@@ -280,6 +281,11 @@ def _report(batch, times, gated=None, device_fps=None):
         result["device_fps"] = round(device_fps, 1)
         if baseline_fps:
             result["device_vs_baseline"] = round(device_fps / baseline_fps, 1)
+        if device_mode:
+            # "scanned" = one lax.scan dispatch over all batches (the PCIe-
+            # host estimate); "per-dispatch" = the fallback that still pays
+            # this relay's per-call dispatch latency
+            result["device_mode"] = device_mode
     print(json.dumps(result), flush=True)
 
 
@@ -473,24 +479,34 @@ def _measure(state, done):
     if (os.environ.get("BENCH_DEVICE", "1") != "0" and yuv
             and time.time() - t_start < budget_s):
         try:
-            state["device_fps"] = _measure_device(
+            _measure_device(
                 jax, jnp, params, compute, batch,
-                int(os.environ.get("BENCH_DEVICE_ITERS", "10")))
+                int(os.environ.get("BENCH_DEVICE_ITERS", "10")),
+                state, deadline=t_start + budget_s)
         except Exception:
             import traceback
 
             traceback.print_exc()
-    _report(batch, list(times), list(gated), state["device_fps"])
+    _report(batch, list(times), list(gated), state["device_fps"],
+            state.get("device_mode"))
     pool.shutdown(wait=False)
     done.set()
 
 
-def _measure_device(jax, jnp, params, compute, batch, n_iters):
+def _measure_device(jax, jnp, params, compute, batch, n_iters, state,
+                    deadline=None):
     """Compute-only stage-1 fps: the fused graph vs the reference's
     dataset_feat_extractor.py:119-192 loop, with the (host-specific) relay
-    tunnel excluded.  Inputs are device-generated u8 YUV planes with
-    per-iteration keys; completion is forced through a scalar accumulator
-    that every iteration's outputs feed."""
+    tunnel excluded.  Inputs are device-resident u8 YUV planes; the timed
+    loop is ONE dispatch — a ``lax.scan`` over the stacked batches, chained
+    through a scalar accumulator.  Per-call Python dispatch is excluded on
+    purpose: through this relay a dispatch costs tens of ms (the standalone
+    4.3 s cube-pad conv vs ~105 TF/s in-scan, tools/bench_pallas.py), which
+    a real PCIe host does not pay — the scanned rate is the honest estimate
+    of the fused graph's throughput.  The per-dispatch rate is measured
+    first and written into ``state`` immediately, so a watchdog firing
+    during the scanned graph's (remote, minutes-long) compile still leaves
+    a device number; the scanned rate overwrites it on success."""
 
     @jax.jit
     def make(k):
@@ -505,6 +521,8 @@ def _measure_device(jax, jnp, params, compute, batch, n_iters):
     out = compute(planes[0])  # warm (same shapes/dtypes as the e2e graph)
     acc = sum(jnp.sum(a[:1, :1].astype(jnp.float32)) for a in out)
     float(acc)  # materialize inputs + warm run before timing
+
+    # per-dispatch loop (includes relay dispatch overhead per batch)
     acc = jnp.zeros((), jnp.float32)
     t0 = time.time()
     for i in range(n_iters):
@@ -512,11 +530,40 @@ def _measure_device(jax, jnp, params, compute, batch, n_iters):
         acc = acc + sum(jnp.sum(a[:1, :1].astype(jnp.float32)) for a in out)
     assert np.isfinite(float(acc))  # gates on every iteration's outputs
     dt = time.time() - t0
-    fps = batch * n_iters / dt
-    print(f"bench: device-resident {fps:.1f} fps "
+    fps_dispatch = batch * n_iters / dt
+    state["device_fps"] = fps_dispatch
+    state["device_mode"] = "per-dispatch"
+    print(f"bench: device-resident per-dispatch {fps_dispatch:.1f} fps "
           f"({dt/n_iters*1e3:.1f} ms/batch, {n_iters} iters)",
           file=sys.stderr, flush=True)
-    return fps
+    if os.environ.get("BENCH_DEVICE_SCAN", "1") == "0" or (
+            deadline is not None and time.time() > deadline - 30):
+        return  # no time left for the scanned graph's remote compile
+
+    # scanned: one dispatch for all n_iters batches (distinct data — the
+    # accumulator consumes every iteration's outputs, so nothing is DCE'd)
+    ys = jnp.stack([p[0] for p in planes])
+    uvs = jnp.stack([p[1] for p in planes])
+
+    @jax.jit
+    def scanned(ys, uvs):
+        def body(a, yuv):
+            outs = compute(yuv)
+            return a + sum(jnp.sum(o[:1, :1].astype(jnp.float32))
+                           for o in outs), None
+        a, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (ys, uvs))
+        return a
+
+    float(scanned(ys, uvs))  # compile + warm outside the timing
+    t0 = time.time()
+    assert np.isfinite(float(scanned(ys, uvs)))
+    dt = time.time() - t0
+    fps = batch * n_iters / dt
+    print(f"bench: device-resident scanned {fps:.1f} fps "
+          f"({dt/n_iters*1e3:.1f} ms/batch, one dispatch)",
+          file=sys.stderr, flush=True)
+    state["device_fps"] = fps
+    state["device_mode"] = "scanned"
 
 
 if __name__ == "__main__":

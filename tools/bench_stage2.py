@@ -106,6 +106,16 @@ def main():
         f"{pipe_str} (full disk-artifact path, {n_win} windows; "
         f"windows/s == frames/s of the stride-1 protocol)"
     )
+    import json
+
+    print(json.dumps({
+        "metric": "stage2_windows_per_sec", "unit": "windows/s",
+        "value": round(max(pipe.values()), 1),  # best disk-path config
+        "device_resident": round(wps_dev, 1),
+        "host_fed": round(wps_host, 1),
+        "disk_path": {f"{c}@bw{bw}": round(w, 1)
+                      for (c, bw), w in pipe.items()},
+    }), flush=True)
 
 
 if __name__ == "__main__":

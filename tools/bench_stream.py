@@ -78,6 +78,14 @@ def main():
     print(f"streaming e2e: {fps:.1f} frames/s "
           f"({'yuv420' if yuv else 'rgb8'} upload, video -> temporal "
           f"saliency, 1 chip)")
+    import json
+
+    print(json.dumps({
+        "metric": "stream_frames_per_sec", "value": round(fps, 1),
+        "unit": "frames/s (video -> temporal saliency, both stages fused, "
+                "1 chip)",
+        "upload": "yuv420" if yuv else "rgb8",
+    }), flush=True)
 
 
 if __name__ == "__main__":

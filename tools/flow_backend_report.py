@@ -245,6 +245,13 @@ def throughput_report(w, batch=8, n_iters=4):
     print("|---|---|")
     for name, pps in rows:
         print(f"| {name} | {pps:.1f} |")
+    import json
+
+    print(json.dumps({
+        "metric": "flow_pairs_per_sec", "unit": f"pairs/s at {w}x{h}",
+        "value": round(max(p for n, p in rows if "device" in n), 1),
+        "backends": {n: round(p, 1) for n, p in rows},
+    }), flush=True)
     return dict(rows)
 
 
