@@ -26,7 +26,8 @@ by tools/measure_torch_baseline.py and recorded in BENCH_BASELINE.json.
 
 The top-level invocation prints ONE JSON line: {"metric", "value", "unit",
 "vs_baseline", "spread", "spread_gated_n", "n_iters", "attempt",
-"device_fps", "device_vs_baseline"[, "discarded"]} — value is the e2e
+"device_fps", "device_vs_baseline", "device_mode"[, "device_dispatch_fps",
+"discarded"]} — value is the e2e
 median over completed iterations; spread the [min, max] fps over
 FETCH-GATED iterations only (in the pipelined steady state an iteration
 whose async D2H already landed has an ungated wall delta that is not a
@@ -225,7 +226,8 @@ def _worker_main():
               file=sys.stderr)
     if len(times) >= 1:
         _report(batch, list(times), list(state["gated"]),
-                state["device_fps"], state.get("device_mode"))
+                state["device_fps"], state.get("device_mode"),
+                state.get("device_dispatch_fps"))
     else:
         print(json.dumps({
             "metric": "stage1_frames_per_sec", "value": None,
@@ -251,7 +253,8 @@ def _baseline_fps():
     return _BASELINE_CACHE[0]
 
 
-def _report(batch, times, gated=None, device_fps=None, device_mode=None):
+def _report(batch, times, gated=None, device_fps=None, device_mode=None,
+            device_dispatch_fps=None):
     fps = batch / float(np.median(times))
     # spread over FETCH-GATED iterations only — in the pipelined steady
     # state an iteration whose async D2H already landed has an ungated wall
@@ -286,6 +289,10 @@ def _report(batch, times, gated=None, device_fps=None, device_mode=None):
             # host estimate); "per-dispatch" = the fallback that still pays
             # this relay's per-call dispatch latency
             result["device_mode"] = device_mode
+        if device_dispatch_fps is not None and device_mode == "scanned":
+            # keep the dispatch-loop rate visible: its gap to the scanned
+            # rate IS this relay's per-call overhead
+            result["device_dispatch_fps"] = round(device_dispatch_fps, 1)
     print(json.dumps(result), flush=True)
 
 
@@ -488,7 +495,7 @@ def _measure(state, done):
 
             traceback.print_exc()
     _report(batch, list(times), list(gated), state["device_fps"],
-            state.get("device_mode"))
+            state.get("device_mode"), state.get("device_dispatch_fps"))
     pool.shutdown(wait=False)
     done.set()
 
@@ -532,6 +539,7 @@ def _measure_device(jax, jnp, params, compute, batch, n_iters, state,
     dt = time.time() - t0
     fps_dispatch = batch * n_iters / dt
     state["device_fps"] = fps_dispatch
+    state["device_dispatch_fps"] = fps_dispatch
     state["device_mode"] = "per-dispatch"
     print(f"bench: device-resident per-dispatch {fps_dispatch:.1f} fps "
           f"({dt/n_iters*1e3:.1f} ms/batch, {n_iters} iters)",

@@ -96,3 +96,15 @@ def test_atomic_save_helpers(tmp_path):
     with np.load(z) as d:
         assert bool(d["flag"]) and d["x"].shape == (3,)
     assert sorted(os.listdir(tmp_path)) == ["a.npy", "m.npz"]
+
+
+def test_warm_link_returns_elapsed(capsys):
+    """warm_link absorbs one matmul+fetch round trip and reports its
+    seconds; quiet (<5 s) on a healthy backend, prints a note when it
+    absorbed a degraded-tunnel cold fetch (CLAUDE.md / RUNBOOK.md)."""
+    from cp360_tpu.utils.transfer import warm_link
+
+    dt = warm_link()
+    assert dt >= 0.0
+    # on the forced-CPU test mesh the fetch is local: never the wedge path
+    assert "cold first-fetch" not in capsys.readouterr().out
