@@ -105,6 +105,10 @@ def mobilenet_v2_apply(
     """Forward: [N, 6, H, W, 3] (or [N*6, H, W, 3]) -> (logits, head feats)."""
     if x.ndim == 5:
         x = x.reshape(-1, *x.shape[2:])
+    if compute_dtype is not None:
+        # one entry cast keeps the whole trunk in compute dtype (see
+        # resnet_apply — halves elementwise HBM traffic under bf16)
+        x = x.astype(compute_dtype)
 
     def cbr(p, out, stride=1, k=3, groups=1, act=True):
         if k == 3:

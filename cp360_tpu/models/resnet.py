@@ -110,6 +110,13 @@ def resnet_apply(
     if x.ndim == 5:
         x = x.reshape(-1, *x.shape[2:])
 
+    # Cast ONCE at trunk entry: with bf16 compute every activation
+    # (pads, BN, relu, residual adds) stays bf16 — measured r4, the old
+    # per-conv cast-back-to-f32 ran the trunk's elementwise traffic at
+    # double bandwidth (tools/profile_stage1.py).  f32 compute (the CPU
+    # parity path) is unchanged: the cast is a no-op there.
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     out = _pad(x, 3, use_cube_pad)
     out = layers.conv2d(out, params["conv1"]["w"], stride=2, compute_dtype=compute_dtype)
     out = layers.batch_norm(out, params["bn1"])

@@ -78,6 +78,10 @@ def vgg16_apply(
     """Forward: [N, 6, H, W, 3] (or [N*6, H, W, 3]) -> (logits, camconv feats)."""
     if x.ndim == 5:
         x = x.reshape(-1, *x.shape[2:])
+    if compute_dtype is not None:
+        # one entry cast keeps the whole trunk in compute dtype (see
+        # resnet_apply — halves elementwise HBM traffic under bf16)
+        x = x.astype(compute_dtype)
     out = x
     ci = 0
     for v in _VGG16_CFG:

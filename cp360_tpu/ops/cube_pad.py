@@ -33,6 +33,16 @@ import numpy as np
 
 Pads = Union[int, Sequence[int]]
 
+# Execution form for :func:`cube_pad` — "explicit" (slice/flip/concat),
+# "dus" (zero-pad + strip writes), or "gather" (index-map take).  All three
+# are exact-equal (tests/test_cube_pad.py); the default is the form that
+# measured fastest inside the stage-1 backbone on the real chip
+# (tools/bench_cubepad_forms.py).  Env CP360_CUBE_PAD_FORM overrides, read
+# at import (the choice is baked into traces — one form per process).
+import os as _os
+
+CUBE_PAD_FORM = _os.environ.get("CP360_CUBE_PAD_FORM", "")
+
 
 def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:
     """Normalize pad spec to (left, right, top, down).
@@ -208,7 +218,13 @@ def cube_pad(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
     if (p_l, p_r, p_t, p_d) == (0, 0, 0, 0):
         return x[0] if squeeze else x
-    out = cube_pad_explicit(x, (p_l, p_r, p_t, p_d))
+    form = CUBE_PAD_FORM or "explicit"
+    if form == "dus":
+        out = cube_pad_dus(x, (p_l, p_r, p_t, p_d))
+    elif form == "gather":
+        out = cube_pad_gather(x, (p_l, p_r, p_t, p_d))
+    else:
+        out = cube_pad_explicit(x, (p_l, p_r, p_t, p_d))
     return out[0] if squeeze else out
 
 
@@ -275,9 +291,32 @@ def cube_pad_explicit(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     squeeze = x.ndim == 4
     if squeeze:
         x = x[None]
-    n, six, h, w, c = x.shape
     p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+    top, down, lcol, rcol = _plates_and_cols_jnp(x, p_l, p_r, p_t, p_d)
 
+    mid = x
+    if p_t:
+        mid = jnp.concatenate([top, mid], axis=2)
+    if p_d:
+        mid = jnp.concatenate([mid, down], axis=2)
+    cols = []
+    if p_l:
+        cols.append(lcol)
+    cols.append(mid)
+    if p_r:
+        cols.append(rcol)
+    out = jnp.concatenate(cols, axis=3)
+    return out[0] if squeeze else out
+
+
+def _plates_and_cols_jnp(x, p_l, p_r, p_t, p_d):
+    """Neighbour plates on the data itself, assembly-form-agnostic.
+
+    Returns (top, down, lcol, rcol): top/down are [N,6,p,W,C] plates for the
+    middle column; lcol/rcol are FULL padded-height [N,6,H+pt+pd,p,C]
+    columns with their corner blocks attached (reference
+    model/cube_pad.py:165-216).  Entries are None where the pad is 0.
+    """
     # [N,6,H,W,C] -> per-face [N,H,W,C] views, build plates with jnp.
     faces = [x[:, i] for i in range(6)]
     b, d, f, l, r, t = faces  # noqa: E741
@@ -347,28 +386,55 @@ def cube_pad_explicit(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     p_dr = corner(down[:, :, -p_d:, -1:], right[:, :, -1:, -p_r:]) if (p_d and p_r) else None
     p_dl = corner(down[:, :, :p_d, :1], left[:, :, -1:, -p_l:]) if (p_d and p_l) else None
 
-    mid = x
-    if p_t:
-        mid = jnp.concatenate([top, mid], axis=2)
-    if p_d:
-        mid = jnp.concatenate([mid, down], axis=2)
-
-    cols = []
+    lcol = rcol = None
     if p_l:
         lcol = left
         if p_tl is not None:
             lcol = jnp.concatenate([p_tl, lcol], axis=2)
         if p_dl is not None:
             lcol = jnp.concatenate([lcol, p_dl], axis=2)
-        cols.append(lcol)
-    cols.append(mid)
     if p_r:
         rcol = right
         if p_tr is not None:
             rcol = jnp.concatenate([p_tr, rcol], axis=2)
         if p_dr is not None:
             rcol = jnp.concatenate([rcol, p_dr], axis=2)
-        cols.append(rcol)
+    return top, down, lcol, rcol
 
-    out = jnp.concatenate(cols, axis=3)
+
+@partial(jax.jit, static_argnames=("lrtd_pad",))
+def cube_pad_dus(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
+    """Cube padding assembled by strip WRITES instead of concats.
+
+    Same values as :func:`cube_pad` / :func:`cube_pad_explicit` (one shared
+    plate construction, cross-checked in tests/test_cube_pad.py).  The
+    explicit form's final width-axis concat of 1-to-3-px columns rewrites
+    the entire tensor across the (sublane, lane) tiling; this form instead
+    zero-pads once (one aligned copy) and overwrites only the edge strips
+    with ``dynamic_update_slice``, so the halo bytes — not the whole
+    feature map — are the cost.  Kept separate while the two forms are
+    A/B-benched on real hardware (tools/bench_cubepad_forms.py).
+    """
+    squeeze = x.ndim == 4
+    if squeeze:
+        x = x[None]
+    assert x.shape[1] == 6, f"expected a 6-face axis, got {x.shape[1]}"
+    if x.shape[2] != x.shape[3]:
+        raise ValueError(
+            f"cube padding requires square faces, got {x.shape[2]}x{x.shape[3]}"
+        )
+    p_l, p_r, p_t, p_d = get_pad_size(lrtd_pad)
+    if (p_l, p_r, p_t, p_d) == (0, 0, 0, 0):
+        return x[0] if squeeze else x
+    h, w = x.shape[2], x.shape[3]
+    top, down, lcol, rcol = _plates_and_cols_jnp(x, p_l, p_r, p_t, p_d)
+    out = jnp.pad(x, [(0, 0), (0, 0), (p_t, p_d), (p_l, p_r), (0, 0)])
+    if top is not None:
+        out = out.at[:, :, :p_t, p_l:p_l + w, :].set(top)
+    if down is not None:
+        out = out.at[:, :, p_t + h:, p_l:p_l + w, :].set(down)
+    if lcol is not None:
+        out = out.at[:, :, :, :p_l, :].set(lcol)
+    if rcol is not None:
+        out = out.at[:, :, :, p_l + w:, :].set(rcol)
     return out[0] if squeeze else out
