@@ -84,7 +84,44 @@ def _basic_block(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype) -> jax
     return jax.nn.relu(out + res)
 
 
-@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype", "with_logits"))
+def _stem_space_to_depth(xp: jax.Array, w7: jax.Array,
+                         compute_dtype) -> jax.Array:
+    """The 7x7/stride-2 stem conv as a 4x4/stride-1 conv on 2x2
+    space-to-depth input — identical math, TPU-shaped.
+
+    At C_in=3 the MXU loads 3 of 128 lanes, making the stem the single most
+    expensive conv of the backbone (measured r4: resnet50 time is dominated
+    by stem+layer1, tools/profile_stage1.py).  Grouping 2x2 pixel parities
+    into channels quarters the spatial extent and quadruples C_in:
+
+      y[p,q] = sum_{k,l<7} xp[2p+k, 2q+l] w[k,l]
+             = sum_{py,px<2} sum_{a,b<4} xp[2(p+a)+py, 2(q+b)+px]
+                                         w[2a+py, 2b+px]
+
+    i.e. a VALID 4x4 conv over the [.., H/2, W/2, 12] parity-split tensor
+    with the kernel taps re-grouped the same way (tap 7 zero-padded).
+    Exact to summation order; cross-checked vs the plain stem in
+    tests/test_models.py.
+
+    Args:
+      xp: [B, Hp, Wp, 3] the ALREADY cube/zero-padded input (pad 3), Hp
+        even (224+6=230 at the published geometry).
+      w7: [7, 7, 3, 64] stem kernel.
+    Returns [B, Hp//2 - 3, Wp//2 - 3, 64] — the same output the strided
+    7x7 conv produces.
+    """
+    b, hp, wp, c = xp.shape
+    assert hp % 2 == 0 and wp % 2 == 0, (hp, wp)
+    s2d = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    s2d = s2d.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp // 2, wp // 2, 4 * c)
+    w8 = jnp.pad(w7, [(0, 1), (0, 1), (0, 0), (0, 0)])
+    w4 = w8.reshape(4, 2, 4, 2, *w7.shape[2:])
+    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, w7.shape[3])
+    return layers.conv2d(s2d, w4, compute_dtype=compute_dtype)
+
+
+@partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype",
+                                   "with_logits", "stem_s2d"))
 def resnet_apply(
     params: dict,
     x: jax.Array,
@@ -92,6 +129,7 @@ def resnet_apply(
     use_cube_pad: bool = True,
     compute_dtype=jnp.bfloat16,
     with_logits: bool = True,
+    stem_s2d: Optional[bool] = None,
 ) -> Tuple[Optional[jax.Array], jax.Array]:
     """Forward pass.
 
@@ -117,8 +155,20 @@ def resnet_apply(
     # parity path) is unchanged: the cast is a no-op there.
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
+    if stem_s2d is None:
+        # measured r4 (same-process A/B, v5e, 16-frame batches): the s2d
+        # stem is SLOWER here — zero-padded backbone 20.8 ms vs 16.7, cube-
+        # padded 24.3 vs 23.0 (the parity-split reshape/transpose of the
+        # full-res input costs more than the C=3 lane waste it removes; XLA
+        # handles low-C stems well on this libtpu).  Kept as an opt-in for
+        # other toolchains; it also re-orders f32 summation (~2e-4 drift).
+        stem_s2d = False
     out = _pad(x, 3, use_cube_pad)
-    out = layers.conv2d(out, params["conv1"]["w"], stride=2, compute_dtype=compute_dtype)
+    if stem_s2d and out.shape[1] % 2 == 0 and out.shape[2] % 2 == 0:
+        out = _stem_space_to_depth(out, params["conv1"]["w"], compute_dtype)
+    else:
+        out = layers.conv2d(out, params["conv1"]["w"], stride=2,
+                            compute_dtype=compute_dtype)
     out = layers.batch_norm(out, params["bn1"])
     out = jax.nn.relu(out)
     out = _pad(out, 1, use_cube_pad)

@@ -171,3 +171,19 @@ def test_fold_batch_norm_into_conv_exact():
     wf, bf = fold_batch_norm_into_conv(w, bn)
     out = conv2d(x, wf, bf, padding="SAME")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_stem_space_to_depth_matches_plain_stem(resnet_params):
+    """The s2d stem (4x4/s1 conv on 2x2 parity-split input) reproduces the
+    7x7/s2 stem through the whole backbone — exact math, reordered sums
+    (kept opt-in: measured slower on this libtpu, see resnet_apply)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 6, 32, 32, 3).astype(np.float32))
+    a = resnet_apply(resnet_params, x, compute_dtype=jnp.float32,
+                     with_logits=False, stem_s2d=True)[1]
+    b = resnet_apply(resnet_params, x, compute_dtype=jnp.float32,
+                     with_logits=False, stem_s2d=False)[1]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-4, rtol=1e-3)
