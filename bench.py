@@ -265,6 +265,11 @@ def _report(batch, times, gated=None, device_fps=None, device_mode=None,
            if g] if gated and any(gated) else times
     fps_min = batch / float(np.max(src))
     fps_max = batch / float(np.min(src))
+    # even gated extremes are per-iteration pipeline artifacts, not rates
+    # (a 69 ms interval can follow a slow fetch that pre-drained the queue);
+    # the interquartile band is the honest dispersion figure
+    iqr = [round(batch / float(np.percentile(src, 75)), 3),
+           round(batch / float(np.percentile(src, 25)), 3)]
     baseline_fps = _baseline_fps()
 
     result = {
@@ -273,6 +278,7 @@ def _report(batch, times, gated=None, device_fps=None, device_mode=None,
         "unit": "frames/s (equi 960x1920 -> CAM cube + saliency, 1 chip)",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "spread": [round(fps_min, 3), round(fps_max, 3)],
+        "spread_iqr": iqr,
         "spread_gated_n": len(src) if gated and any(gated) else 0,
         "n_iters": len(times),
     }
