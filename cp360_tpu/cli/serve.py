@@ -44,6 +44,11 @@ def main(argv=None):
         from cp360_tpu.cli.test_temporal import load_clstm
 
         clstm_params = load_clstm(args.clstm)
+    from cp360_tpu.utils.transfer import warm_link
+
+    # absorb the degraded-tunnel cold first-fetch before bucket warmup so
+    # the first client request never pays it
+    warm_link()
     model = SaliencyModel(params, cfg, arch=args.mode, clstm_params=clstm_params)
     httpd = serve(model, host=args.host, port=args.port)
     print(f"serving saliency on http://{args.host}:{args.port} (arch {args.mode}"

@@ -79,7 +79,11 @@ def main(argv=None):
     from cp360_tpu.cli.extract_features import load_params
     from cp360_tpu.cli.test_temporal import load_clstm
     from cp360_tpu.pipelines.stream import stream_video_saliency
+    from cp360_tpu.utils.transfer import warm_link
 
+    # absorb the degraded-tunnel cold first-fetch BEFORE any supervised
+    # silence window; heartbeats keep a --supervise parent's clock alive
+    warm_link()
     backbone = load_params(args.backbone, args.arch)
     clstm = load_clstm(args.clstm)
 

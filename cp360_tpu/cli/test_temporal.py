@@ -100,6 +100,11 @@ def main(argv=None):
     maybe_init_distributed()
     import jax
 
+    from cp360_tpu.utils.transfer import warm_link
+
+    # absorb the degraded-tunnel cold first-fetch BEFORE any supervised
+    # silence window; heartbeats keep a --supervise parent's clock alive
+    warm_link()
     mesh = mesh_from_config(cfg)
     multiproc = jax.process_count() > 1
     if multiproc:

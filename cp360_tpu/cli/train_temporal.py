@@ -119,6 +119,12 @@ def main(argv=None):
 
     maybe_init_distributed()
     mesh = mesh_from_config(cfg)
+    from cp360_tpu.utils.transfer import warm_link
+
+    # absorb the degraded-tunnel cold first-fetch BEFORE any supervised
+    # silence window; heartbeats keep a --supervise parent's clock alive
+    warm_link()
+
 
     per_host = False
     if mesh is not None:

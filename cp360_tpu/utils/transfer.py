@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 
-def warm_link(verbose: bool = True) -> float:
+def warm_link(verbose: bool = True, heartbeat_s: float = 60.0) -> float:
     """Absorb the tunnel's per-process cold-fetch wedge; return its seconds.
 
     Measured 2026-08-19 (degraded-tunnel phase): the FIRST device->host
@@ -27,15 +27,38 @@ def warm_link(verbose: bool = True) -> float:
     tiny distinct-data matmul (the tunnel content-dedups repeated buffers)
     and fetches 8x8 of the result; no-op cost (~1 s) on a healthy tunnel
     or on CPU.  (No reference analogue — a PCIe host has no relay.)
+
+    While the fetch is in flight a daemon thread prints a heartbeat every
+    ``heartbeat_s`` — a `--supervise`d CLI would otherwise look stalled
+    during a cold fetch longer than the supervisor's timeout (the
+    supervisor counts child output as progress, utils/supervise.py) and
+    get restart-looped, paying the cold fetch again each time.
     """
+    import threading
+
     import jax
     import jax.numpy as jnp
 
     rs = np.random.RandomState(os.getpid() & 0x7FFFFFFF)
     x = jnp.asarray(rs.rand(256, 256), jnp.bfloat16)
     t0 = time.time()
-    y = (x @ x).block_until_ready()
-    np.asarray(y[:8, :8])
+    done = threading.Event()
+
+    def beat():
+        while not done.wait(heartbeat_s):
+            print(f"warm_link: transfer path still warming "
+                  f"({time.time() - t0:.0f}s — degraded-tunnel cold fetch, "
+                  f"see RUNBOOK.md)", flush=True)
+
+    hb = None
+    if verbose and heartbeat_s > 0:
+        hb = threading.Thread(target=beat, daemon=True)
+        hb.start()
+    try:
+        y = (x @ x).block_until_ready()
+        np.asarray(y[:8, :8])
+    finally:
+        done.set()
     dt = time.time() - t0
     if verbose and dt > 5.0:
         print(f"warm_link: absorbed a {dt:.0f}s cold first-fetch "
