@@ -350,7 +350,11 @@ def _measure(state, done):
     # (ops/quantize.py: per-face-channel int8 + scales, host dequant —
     # halves the dominant D2H stream; error bounded in tests/test_quantize.py)
     codec = os.environ.get("BENCH_CODEC", "int8")
-    depth = int(os.environ.get("BENCH_DEPTH", "2"))
+    # depth 4 measured best on a healthy link (same-phase sweep, 2026-08-19:
+    # depth 3 -> 45.6 fps, depth 4 -> 46.1 fps with the tighter IQR, vs
+    # 27-31 fps at the old default 2 — deeper pre-upload rides out the
+    # relay's multi-second latency spikes)
+    depth = int(os.environ.get("BENCH_DEPTH", "4"))
     # soft wall-clock budget: the transfer tunnel intermittently degrades
     # 20-100x; report the median of whatever completed rather than nothing
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))

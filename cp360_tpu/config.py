@@ -92,10 +92,12 @@ class Config:
     upload_format: str = "rgb8"  # stage-1 face upload: 'rgb8' (exact) |
     #   'yuv420' (BT.601 + 2x2 chroma subsample — halves H2D bytes; error
     #   ~1/255 mean on natural frames, bounded in tests/test_extract.py)
-    upload_depth: int = 2  # batches assembled ahead of compute (an assembly
+    upload_depth: int = 4  # batches assembled ahead of compute (an assembly
     #   thread readies host arrays; device_put stays on the MAIN thread —
     #   it is deferred on this tunnel, and client-thread-concurrent
-    #   transfers intermittently wedge the relay: see extract.assemble)
+    #   transfers intermittently wedge the relay: see extract.assemble).
+    #   Default 4: measured same-phase sweep 2026-08-19 — depth 3 -> 45.6
+    #   e2e fps, depth 4 -> 46.1 (tighter IQR), vs 27-31 at depth 2
     transfer_codec: str = "none"  # 'none' | 'int8': per-(face,channel)
     #   symmetric int8 over the CAM feature planes ON THE LINK ONLY (disk
     #   artifacts stay float; ops/quantize.py) — halves stage-1 D2H and the
