@@ -9,8 +9,10 @@ decode and optical flow (excluded on both sides).
 
 Pipeline shape matches production extract_video: host remap workers feed a
 dedicated upload thread (depth BENCH_DEPTH batches of distinct buffers in
-flight — the tunnel content-dedups repeats) and the compute stream consumes
-pre-uploaded device arrays.  BENCH_UPLOAD=yuv420 sends BT.601 4:2:0 planes
+flight — the tunnel content-dedups repeats), the compute stream consumes
+pre-uploaded device arrays, and up to BENCH_FETCH_DEPTH batches of device
+outputs stay outstanding before the oldest is fetched (production:
+cfg.upload_depth / cfg.fetch_depth).  BENCH_UPLOAD=yuv420 sends BT.601 4:2:0 planes
 (half the H2D bytes, reconstructed on device; error bounded in
 tests/test_extract.py), rgb8 sends exact faces.  BENCH_CODEC=int8 (default)
 fetches the CAM cube through the transfer codec (per-face-channel int8 +
@@ -355,6 +357,9 @@ def _measure(state, done):
     # 27-31 fps at the old default 2 — deeper pre-upload rides out the
     # relay's multi-second latency spikes)
     depth = int(os.environ.get("BENCH_DEPTH", "4"))
+    # D2H mirror of BENCH_DEPTH: batches whose device outputs stay
+    # outstanding before the oldest is fetched (production: cfg.fetch_depth)
+    fetch_depth = max(1, int(os.environ.get("BENCH_FETCH_DEPTH", "1")))
     # soft wall-clock budget: the transfer tunnel intermittently degrades
     # 20-100x; report the median of whatever completed rather than nothing
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
@@ -454,23 +459,23 @@ def _measure(state, done):
         next_i += 1
 
     times, gated = state["times"], state["gated"]
-    pending = None
+    pendings = deque()  # outstanding device outputs, oldest first
     t_prev = time.time()
     for i in range(n_warm, n_total):
         dev_arrays = uploads.popleft()
         if next_i < n_total:
             uploads.append(upload(remap(next_i)))
             next_i += 1
-        out = run(dev_arrays)
+        pendings.append(run(dev_arrays))
         t_fetch = time.time()
-        if pending is not None:
-            fetch(pending)
-        pending = out
+        if len(pendings) > fetch_depth:
+            fetch(pendings.popleft())
         now = time.time()
-        if i > n_warm:
-            # the first steady-state iteration has no fetch gate (pending
-            # was None), so its wall delta measures only host remap +
-            # async dispatch and would inflate the median/spread
+        if i >= n_warm + fetch_depth:
+            # the first fetch_depth steady-state iterations have no fetch
+            # gate (the outstanding queue was still filling), so their wall
+            # deltas measure only host remap + async dispatch and would
+            # inflate the median/spread
             times.append(now - t_prev)
             # an iteration whose async D2H had already landed (fetch
             # returned ~instantly) has an ungated interval — fine for the
@@ -486,7 +491,8 @@ def _measure(state, done):
             _report(batch, list(times), list(gated))
         if now - t_start > budget_s and len(times) >= 2:
             break  # degraded link: report what completed
-    fetch(pending)
+    while pendings:
+        fetch(pendings.popleft())
 
     # compute-only phase (VERDICT r3 #3): device-resident batches, no link
     # traffic in the timed loop.  Reuses the ALREADY-COMPILED fused graph by

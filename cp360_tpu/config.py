@@ -98,6 +98,13 @@ class Config:
     #   transfers intermittently wedge the relay: see extract.assemble).
     #   Default 4: measured same-phase sweep 2026-08-19 — depth 3 -> 45.6
     #   e2e fps, depth 4 -> 46.1 (tighter IQR), vs 27-31 at depth 2
+    fetch_depth: int = 1  # device output batches left outstanding before
+    #   the oldest is fetched/written (the D2H mirror of upload_depth: the
+    #   async copy is enqueued at dispatch time either way, a deeper queue
+    #   just gives the relay's multi-second latency spikes more time to
+    #   resolve before the pipeline gates on the result).  Costs ~5 MB of
+    #   device output per level and delays artifact writes by as many
+    #   batches (resume granularity)
     transfer_codec: str = "none"  # 'none' | 'int8': per-(face,channel)
     #   symmetric int8 over the CAM feature planes ON THE LINK ONLY (disk
     #   artifacts stay float; ops/quantize.py) — halves stage-1 D2H and the

@@ -457,14 +457,18 @@ def extract_video(
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     wh = (cfg.equi_h, cfg.equi_w)  # PIL (width, height) — see Config docs
 
+    from collections import deque
+
     t_start = time.time()
     written = 0
-    pending = None  # (counts, device output arrays, pil images, flows)
+    # outstanding device outputs, oldest first: (counts, device output
+    # arrays, pil images, flows).  cfg.fetch_depth entries ride here before
+    # the oldest is fetched — the D2H mirror of the upload_depth queue
+    pendings: deque = deque()
+    fetch_depth = max(1, cfg.fetch_depth)
 
     def flush(pending):
         nonlocal written
-        if pending is None:
-            return
         cnts, dev_out, pil_imgs, flows = pending
         if isinstance(flows, tuple) and flows and flows[0] == "batched_flow":
             _, dev_flow, n_valid = flows
@@ -562,8 +566,6 @@ def extract_video(
             flows = ("batched_flow", dev_flow, n_valid)
         return (cnts, dev_out, [b[2] for b in batch], flows)
 
-    from collections import deque
-
     upload_pool = ThreadPoolExecutor(max_workers=1)  # host assembly only
     upload_depth = max(1, cfg.upload_depth)
     uploads: deque = deque()  # (batch, future of host arrays)
@@ -572,12 +574,11 @@ def extract_video(
         return host_faces_for_upload(frame_u8, cfg.cube_dim, yuv)
 
     def drain_one():
-        nonlocal pending
         b, fut = uploads.popleft()
         dev_arrays = tuple(_shard_in(a) for a in fut.result())
-        out = compute(b, dev_arrays)
-        flush(pending)
-        pending = out
+        pendings.append(compute(b, dev_arrays))
+        while len(pendings) > fetch_depth:
+            flush(pendings.popleft())
 
     batch = []
     prev_bgr = None
@@ -627,7 +628,8 @@ def extract_video(
             uploads.append((batch, upload_pool.submit(assemble, batch)))
         while uploads:
             drain_one()
-        flush(pending)
+        while pendings:
+            flush(pendings.popleft())
         ok_done = True
     finally:
         # in finally so a mid-extract exception (decode, remap, flow, disk)

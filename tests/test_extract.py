@@ -231,6 +231,28 @@ def test_upload_depth_one_matches_default(video, cfg, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_fetch_depth_matches_depth_one(video, cfg, tmp_path):
+    """fetch_depth (outstanding-D2H queue, the download mirror of
+    upload_depth) is a pure scheduling knob — artifacts are identical at
+    any depth, including when the queue never fills (depth > n_batches)."""
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    cfg_nf = cfg.replace(opt_flow=False)
+    outs = []
+    for depth in (1, 2, 16):
+        out = str(tmp_path / f"f{depth}")
+        extract_video(params, cfg_nf.replace(fetch_depth=depth), video, out,
+                      output_img=False, output_feature=True,
+                      output_motion=False, arch="resnet18", batch_frames=2)
+        outs.append(out)
+    names = sorted(os.listdir(os.path.join(outs[0], "cube_feat")))
+    assert len(names) == 6
+    for n in names:
+        a = np.load(os.path.join(outs[0], "cube_feat", n))
+        for other in outs[1:]:
+            np.testing.assert_array_equal(
+                a, np.load(os.path.join(other, "cube_feat", n)))
+
+
 def test_feat_dtype_f16(video, tmp_path):
     cfg16 = Config(
         equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
