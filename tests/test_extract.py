@@ -253,6 +253,51 @@ def test_fetch_depth_matches_depth_one(video, cfg, tmp_path):
                 a, np.load(os.path.join(other, "cube_feat", n)))
 
 
+def test_fetch_depth_crash_resume(video, cfg, tmp_path, monkeypatch):
+    """fetch_depth > 1 delays artifact writes by up to that many batches, so
+    a crash can lose computed-but-unflushed outputs. Resume must regenerate
+    exactly the missing tail and converge to the clean-run artifact set."""
+    import cp360_tpu.pipelines.extract as ex
+
+    params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
+    cfg_fd = cfg.replace(opt_flow=False, fetch_depth=3)
+
+    clean = str(tmp_path / "clean")
+    extract_video(params, cfg_fd, video, clean, output_img=False,
+                  output_feature=True, output_motion=False,
+                  arch="resnet18", batch_frames=2)
+
+    real = ex.host_faces_for_upload
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # third batch assembly: queues are primed
+            raise RuntimeError("injected mid-extract crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ex, "host_faces_for_upload", flaky)
+    out = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="injected"):
+        extract_video(params, cfg_fd, video, out, output_img=False,
+                      output_feature=True, output_motion=False,
+                      arch="resnet18", batch_frames=2)
+    written = os.listdir(os.path.join(out, "cube_feat")) \
+        if os.path.isdir(os.path.join(out, "cube_feat")) else []
+    assert len(written) < 6  # the crash really lost unflushed batches
+
+    monkeypatch.setattr(ex, "host_faces_for_upload", real)
+    extract_video(params, cfg_fd, video, out, output_img=False,
+                  output_feature=True, output_motion=False,
+                  arch="resnet18", batch_frames=2)
+    names = sorted(os.listdir(os.path.join(clean, "cube_feat")))
+    assert sorted(os.listdir(os.path.join(out, "cube_feat"))) == names
+    for n in names:
+        np.testing.assert_array_equal(
+            np.load(os.path.join(clean, "cube_feat", n)),
+            np.load(os.path.join(out, "cube_feat", n)))
+
+
 def test_feat_dtype_f16(video, tmp_path):
     cfg16 = Config(
         equi_h=256, equi_w=128, cube_dim=64, flow_h=32,
