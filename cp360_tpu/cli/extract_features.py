@@ -120,9 +120,31 @@ def main(argv=None):
     mesh = mesh_from_config(cfg)
     from cp360_tpu.utils.transfer import warm_link
 
-    # absorb the degraded-tunnel cold first-fetch BEFORE any supervised
-    # silence window; heartbeats keep a --supervise parent's clock alive
-    warm_link()
+    if cfg.transfer_codec == "auto":
+        # measure the link's CURRENT phase and pick the codec it warrants
+        # (VERDICT r4 #4: production must react to the measured phase, not
+        # assume the healthy defaults).  probe_link calls warm_link first,
+        # so the cold first-fetch is absorbed here either way.
+        from cp360_tpu.utils.linkprobe import (
+            predict_stage1_fps,
+            probe_link,
+            resolve_codec,
+        )
+
+        pr = probe_link()
+        codec = resolve_codec("auto", pr, upload_format=cfg.upload_format,
+                              cube_dim=cfg.cube_dim)
+        print(f"link probe: {pr.phase} phase (duplex {pr.duplex_MBps} MB/s, "
+              f"cold fetch {pr.cold_s}s) -> transfer_codec={codec} "
+              f"(link model: exact "
+              f"{predict_stage1_fps(pr.duplex_MBps, 'none', cfg.upload_format):.0f} fps, "
+              f"int8 {predict_stage1_fps(pr.duplex_MBps, 'int8', cfg.upload_format):.0f} fps)",
+              flush=True)
+        cfg = cfg.replace(transfer_codec=codec)
+    else:
+        # absorb the degraded-tunnel cold first-fetch BEFORE any supervised
+        # silence window; heartbeats keep a --supervise parent's clock alive
+        warm_link()
 
     import dataclasses
 

@@ -105,7 +105,10 @@ class Config:
     #   resolve before the pipeline gates on the result).  Costs ~5 MB of
     #   device output per level and delays artifact writes by as many
     #   batches (resume granularity)
-    transfer_codec: str = "none"  # 'none' | 'int8': per-(face,channel)
+    transfer_codec: str = "none"  # 'none' | 'int8' | 'auto': per-(face,channel)
+    #   'auto' (extraction CLI): probe the link at startup
+    #   (utils/linkprobe.py) and ship int8 iff the measured link — not
+    #   device compute — is the binding constraint; the decision is logged.
     #   symmetric int8 over the CAM feature planes ON THE LINK ONLY (disk
     #   artifacts stay float; ops/quantize.py) — halves stage-1 D2H and the
     #   stage-2 disk path's H2D; worst-case error amax_channel/254 ~ 0.4%

@@ -413,6 +413,9 @@ def _batch_solver_u8_cached(backend: str, link_dtype: str):
         solve = brox_flow_batch
     else:
         raise ValueError(f"no device batch solver for backend {backend!r}")
+    if link_dtype not in ("float16", "float32"):
+        raise ValueError(
+            f"flow_link_dtype={link_dtype!r} must be 'float16' or 'float32'")
     dt = jnp.float16 if link_dtype == "float16" else jnp.float32
 
     @jax.jit

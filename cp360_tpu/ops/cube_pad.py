@@ -42,6 +42,13 @@ Pads = Union[int, Sequence[int]]
 import os as _os
 
 CUBE_PAD_FORM = _os.environ.get("CP360_CUBE_PAD_FORM", "")
+if CUBE_PAD_FORM not in ("", "explicit", "dus", "gather"):
+    # fail at import, not silently at dispatch: a typo'd form would
+    # otherwise fall through to "explicit" and an A/B sweep would
+    # unknowingly benchmark the wrong form (ADVICE r4)
+    raise ValueError(
+        f"CP360_CUBE_PAD_FORM={CUBE_PAD_FORM!r} is not one of "
+        f"'', 'explicit', 'dus', 'gather'")
 
 
 def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:

@@ -68,7 +68,13 @@ def quantize_cam(x: jax.Array, scale_dtype=jnp.float32):
     """
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=(-3, -2), keepdims=True)
-    scales = (jnp.where(amax > 0.0, amax, 1.0) * _INV_QMAX).astype(scale_dtype)
+    scales = jnp.where(amax > 0.0, amax, 1.0) * _INV_QMAX
+    # keep the rounded scale finite in the narrower dtype: an amax outside
+    # f16's range would otherwise round the scale to inf (dequantize NaN via
+    # 0*inf) or 0 — clamp into the target dtype's finite positive range
+    fin = jnp.finfo(scale_dtype)
+    scales = jnp.clip(scales, np.float32(fin.smallest_subnormal),
+                      np.float32(fin.max)).astype(scale_dtype)
     q = jnp.clip(jnp.round(xf / scales.astype(jnp.float32)),
                  -_QMAX, _QMAX).astype(jnp.int8)
     return q, scales
@@ -96,8 +102,10 @@ def quantize_cam_np(x: np.ndarray, scale_dtype=np.float32):
     thread so quantization overlaps disk reads)."""
     xf = np.asarray(x, dtype=np.float32)
     amax = np.max(np.abs(xf), axis=(-3, -2), keepdims=True)
-    scales = (np.where(amax > 0.0, amax, 1.0).astype(np.float32)
-              * _INV_QMAX).astype(scale_dtype)
+    scales = np.where(amax > 0.0, amax, 1.0).astype(np.float32) * _INV_QMAX
+    fin = np.finfo(scale_dtype)  # finite-range clamp, mirrors quantize_cam
+    scales = np.clip(scales, np.float32(fin.smallest_subnormal),
+                     np.float32(fin.max)).astype(scale_dtype)
     q = np.clip(np.round(xf / scales.astype(np.float32)),
                 -_QMAX, _QMAX).astype(np.int8)
     return q, scales

@@ -59,6 +59,7 @@ def pipelined_rollout(
     use_cube_pad: bool = True,
     compute_dtype=jnp.float32,
     conv_impl: str = "xla",
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Roll the ConvLSTM over ``seq``, time axis pipelined over the mesh's
     ``pipe`` axis, batch split into ``n_micro`` microbatches.
@@ -84,13 +85,14 @@ def pipelined_rollout(
         raise ValueError(
             f"microbatch size {b // n_micro} must be a multiple of 6 "
             f"(face-flattened batch; cube padding regroups faces)")
-    fn = _pipelined_fn(mesh, n_micro, use_cube_pad, compute_dtype, conv_impl)
+    fn = _pipelined_fn(mesh, n_micro, use_cube_pad, compute_dtype, conv_impl,
+                       remat)
     return fn(params, seq, h0, c0)
 
 
 @lru_cache(maxsize=16)
 def _pipelined_fn(mesh: Mesh, n_micro: int, use_cube_pad: bool,
-                  compute_dtype, conv_impl: str):
+                  compute_dtype, conv_impl: str, remat: bool = False):
     """Cached jitted shard_map for :func:`pipelined_rollout`.
 
     Building a fresh jit per call would retrace + recompile on EVERY batch
@@ -117,6 +119,8 @@ def _pipelined_fn(mesh: Mesh, n_micro: int, use_cube_pad: bool,
                                   compute_dtype, conv_impl)
                 return (h, c), h
 
+            if remat:  # same per-step checkpoint as clstm_rollout's remat
+                step = jax.checkpoint(step)
             (h, c), hs = jax.lax.scan(step, state, x_chunk)
             return hs, h, c
 

@@ -381,6 +381,16 @@ def extract_video(
 
     from cp360_tpu.flow.optical_flow import get_flow_fn
 
+    if cfg.transfer_codec not in ("none", "int8"):
+        # 'auto' must be resolved against a link measurement BEFORE the
+        # pipeline runs (cli/extract_features.py does this at startup via
+        # utils/linkprobe.resolve_codec) — an unresolved value silently
+        # behaving as 'none' is the fallthrough class ADVICE r4 flagged
+        raise ValueError(
+            f"transfer_codec={cfg.transfer_codec!r} is not one of "
+            f"'none', 'int8' (resolve 'auto' via "
+            f"linkprobe.resolve_codec first)")
+
     # open the video BEFORE creating worker pools so an unreadable path
     # cannot leak executors
     cap = cv2.VideoCapture(vid_path)

@@ -186,7 +186,7 @@ def make_train_step(cfg: Config, optimizer: optax.GradientTransformation) -> Cal
             hiddens, _, _ = pipelined_rollout(
                 params, x, h0, c0, pipe_mesh, n_micro,
                 use_cube_pad=use_cp, compute_dtype=compute_dtype,
-                conv_impl=cfg.clstm_conv_impl,
+                conv_impl=cfg.clstm_conv_impl, remat=cfg.train_remat,
             )  # last T/P chunk — >= TMP_LOSS_LEN+1 steps by construction
         else:
             hiddens, _, _ = clstm_rollout(

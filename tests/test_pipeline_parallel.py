@@ -147,3 +147,21 @@ def test_pipelined_validates_divisibility(setup):
         pipelined_rollout(params, seq[:7], h0, c0, mesh, n_micro=2)
     with pytest.raises(ValueError, match="microbatches"):
         pipelined_rollout(params, seq, h0, c0, mesh, n_micro=5)
+
+
+def test_pipelined_remat_matches_serial(setup):
+    """cfg.train_remat now threads through the pipelined rollout (ADVICE
+    r4): the checkpointed step must stay exact vs the plain pipelined and
+    serial forms, forward and through the gradient."""
+    params, seq, h0, c0 = setup
+    mesh = make_pipe_mesh(2)
+
+    def loss(prm, use_remat):
+        hs, h, c = pipelined_rollout(prm, seq, h0, c0, mesh, n_micro=2,
+                                     remat=use_remat)
+        return jnp.sum(hs.astype(jnp.float32) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(p, False))(params)
+    g_remat = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

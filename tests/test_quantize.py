@@ -230,3 +230,26 @@ def test_train_loop_with_codec_loader(artifacts, tmp_path):
                  checkpoint_path=str(tmp_path), transfer_codec="int8")
     params = train(cfg, loader, log_fn=lambda *a, **k: None)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(params))
+
+
+def test_f16_scales_extreme_amax_stay_finite():
+    """f16 scale_dtype with out-of-f16-range channel amax must not produce
+    inf scales (0 * inf = NaN poisoning the plane) or 0 scales: the rounded
+    scale is clamped into f16's finite positive range (ADVICE r4)."""
+    big = np.full((1, 6, 7, 7, 2), 1e7, np.float32)       # amax/127 > f16 max? no — 7.9e4 > 65504: overflows
+    big[..., 1] = 5e-7                                     # amax/127 ~ 3.9e-9: underflows f16 to 0
+    for quant, dequant in ((quantize_cam, dequantize_cam),
+                           (quantize_cam_np, dequantize_cam_np)):
+        q, s = quant(jnp.asarray(big) if quant is quantize_cam else big,
+                     scale_dtype=(jnp.float16 if quant is quantize_cam
+                                  else np.float16))
+        s_np = np.asarray(s, np.float32)
+        assert np.all(np.isfinite(s_np)) and np.all(s_np > 0)
+        out = np.asarray(dequant(q, s))
+        assert np.all(np.isfinite(out))
+        # the overflow channel saturates (quantizes against f16-max scale);
+        # the underflow channel quantizes against the smallest f16
+        # subnormal (5.96e-8) — worst-case half-step error ~6% at this
+        # amax, vs the NaN/zero it produced before the clamp
+        small = out[..., 1]
+        assert np.allclose(small, 5e-7, rtol=0.07)

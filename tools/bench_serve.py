@@ -150,6 +150,9 @@ def sweep_main():
         d_batches = ((s1["batches"] - s0["batches"])
                      + (st1["batches"] - st0["batches"]))
         d_busy = (s1["busy_s"] - s0["busy_s"]) + (st1["busy_s"] - st0["busy_s"])
+        # an all-failed level (every request 504/timeout, plausible in a
+        # degraded-tunnel phase) still reports, with null latencies, so the
+        # remaining sweep levels run (ADVICE r4)
         print(json.dumps({
             "metric": "serve_sweep",
             "clients": conc,
@@ -157,8 +160,10 @@ def sweep_main():
             "requests": len(lats),
             "http_504": len(fails),
             "requests_per_s": round(len(lats) / wall, 2),
-            "p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
-            "p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
+            "p50_ms": (round(float(np.percentile(lats, 50)) * 1e3, 1)
+                       if lats else None),
+            "p99_ms": (round(float(np.percentile(lats, 99)) * 1e3, 1)
+                       if lats else None),
             "mean_batch": round(d_items / max(1, d_batches), 2),
             "max_group": max(s1["max_group"], st1["max_group"]),
             "occupancy": round(d_busy / wall, 3),

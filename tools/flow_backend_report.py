@@ -179,12 +179,14 @@ def loss_sensitivity(gt, flow_by_backend, flow_h):
     return out
 
 
-def throughput_report(w, batch=8, n_iters=4):
-    """Pairs/s per backend (VERDICT r3 #5) — host loop vs device batch-1 vs
-    device vmapped batch-N.  Distinct data per iteration (the tunnel dedups
-    repeated buffers) and device timings chain through a scalar accumulator
-    (block_until_ready lies through the relay — see tools/bench_pallas.py).
-    Production rate to beat: stage-1 extraction ~31 pairs/s (BENCH_r03)."""
+def throughput_report(w, batch=8, n_iters=4, reps=5):
+    """Pairs/s per backend (VERDICT r3 #5 / r4 #2) — host loop vs device
+    batch-1 vs device vmapped batch-N.  Distinct data per iteration (the
+    tunnel dedups repeated buffers) and device timings chain through a
+    scalar accumulator (block_until_ready lies through the relay — see
+    tools/bench_pallas.py).  Each backend is timed ``reps`` times; the
+    table reports the median and the JSON line carries the per-backend
+    IQR (artifact-of-record spread rule, VERDICT r4 #6)."""
     import time
 
     import jax
@@ -206,27 +208,36 @@ def throughput_report(w, batch=8, n_iters=4):
 
     rows = []
 
+    def _median_iqr(samples):
+        return (float(np.median(samples)),
+                [round(float(np.percentile(samples, 25)), 1),
+                 round(float(np.percentile(samples, 75)), 1)])
+
     def time_host(name):
-        t0 = time.time()
-        k = 0
-        for i in range(n_iters):
-            backend_flow(name, f1s[i % n_data], f2s[i % n_data])
-            k += 1
-        return k / (time.time() - t0)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            for i in range(n_iters):
+                backend_flow(name, f1s[i % n_data], f2s[i % n_data])
+            samples.append(n_iters / (time.time() - t0))
+        return _median_iqr(samples)
 
     def time_device(fn, arrs1, arrs2, per_call):
-        # warm/compile
+        # warm/compile (also absorbs a degraded-phase cold first fetch)
         out = fn(arrs1[0], arrs2[0])
         float(jnp.sum(out.astype(jnp.float32) * 0))
-        acc = jnp.zeros((), jnp.float32)
-        t0 = time.time()
-        for i in range(n_iters):
-            out = fn(arrs1[i % len(arrs1)], arrs2[i % len(arrs2)])
-            acc = acc + jnp.sum(out.reshape(-1)[:8].astype(jnp.float32))
-        assert np.isfinite(float(acc))
-        return per_call * n_iters / (time.time() - t0)
+        samples = []
+        for _ in range(reps):
+            acc = jnp.zeros((), jnp.float32)
+            t0 = time.time()
+            for i in range(n_iters):
+                out = fn(arrs1[i % len(arrs1)], arrs2[i % len(arrs2)])
+                acc = acc + jnp.sum(out.reshape(-1)[:8].astype(jnp.float32))
+            assert np.isfinite(float(acc))
+            samples.append(per_call * n_iters / (time.time() - t0))
+        return _median_iqr(samples)
 
-    rows.append(("farneback (host)", time_host("farneback")))
+    rows.append(("farneback (host)", *time_host("farneback")))
 
     g1 = [jnp.asarray(f, jnp.float32) / 255.0 for f in f1s]
     g2 = [jnp.asarray(f, jnp.float32) / 255.0 for f in f2s]
@@ -235,24 +246,27 @@ def throughput_report(w, batch=8, n_iters=4):
     for name, fn1, fnb in (("horn_schunck", horn_schunck_flow,
                             horn_schunck_flow_batch),
                            ("variational", brox_flow, brox_flow_batch)):
-        rows.append((f"{name} (device, batch 1)", time_device(fn1, g1, g2, 1)))
+        rows.append((f"{name} (device, batch 1)",
+                     *time_device(fn1, g1, g2, 1)))
         rows.append((f"{name} (device, batch {batch})",
-                     time_device(fnb, [b1], [b2], batch)))
+                     *time_device(fnb, [b1], [b2], batch)))
 
-    print(f"\n## Flow throughput ({w}x{h}, {n_iters} timed iters, "
-          f"device batch {batch})\n")
-    print("| backend | pairs/s |")
-    print("|---|---|")
-    for name, pps in rows:
-        print(f"| {name} | {pps:.1f} |")
+    print(f"\n## Flow throughput ({w}x{h}, {n_iters} timed iters x "
+          f"{reps} reps, device batch {batch})\n")
+    print("| backend | pairs/s (median) | IQR |")
+    print("|---|---|---|")
+    for name, pps, iqr in rows:
+        print(f"| {name} | {pps:.1f} | {iqr} |")
     import json
 
     print(json.dumps({
         "metric": "flow_pairs_per_sec", "unit": f"pairs/s at {w}x{h}",
-        "value": round(max(p for n, p in rows if "device" in n), 1),
-        "backends": {n: round(p, 1) for n, p in rows},
+        "value": round(max(p for n, p, _ in rows if "device" in n), 1),
+        "backends": {n: round(p, 1) for n, p, _ in rows},
+        "spread_iqr": {n: i for n, _, i in rows},
+        "n_reps": reps,
     }), flush=True)
-    return dict(rows)
+    return {n: p for n, p, _ in rows}
 
 
 def main():

