@@ -78,7 +78,13 @@ class Config:
     #   (16 measured best through the TPU transfer tunnel: spikes amortize;
     #   32 regresses)
     train_remat: bool = False  # rematerialize ConvLSTM steps in backward
-    flow_backend: str = "farneback"  # 'farneback' | 'horn_schunck' (TPU) | 'variational' (TPU) | 'deepflow'
+    flow_backend: str = "horn_schunck"  # 'horn_schunck' (TPU) | 'variational'
+    #   (TPU) | 'farneback' (host cv2) | 'deepflow' (host, if present).
+    #   Default measured at the production operating point (960x480,
+    #   FLOW_THROUGHPUT_r05.json): the device solver runs 19.0 pairs/s vs
+    #   the host pool's 7.4 on this 1-core host AND beats Farneback's EPE
+    #   on the known-motion scenes (tools/flow_backend_report.py); hosts
+    #   with many cores and no -om throughput wall may prefer 'farneback'.
     flow_link_dtype: str = "float16"  # device flow backends only: dtype the
     #   solved flow crosses D2H in during extraction (the flow plane is the
     #   dominant per-frame D2H when -om is on: f32 [480,960,2] ~ 3.7 MB);
