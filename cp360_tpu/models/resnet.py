@@ -171,8 +171,19 @@ def resnet_apply(
                             compute_dtype=compute_dtype)
     out = layers.batch_norm(out, params["bn1"])
     out = jax.nn.relu(out)
-    out = _pad(out, 1, use_cube_pad)
-    out = layers.max_pool(out, 3, 2)
+    if use_cube_pad and out.shape[1] == out.shape[2] and out.shape[1] % 2 == 0:
+        # fused pad+pool: exact (max is grouping-insensitive) and skips
+        # materializing the padded 114x114 tensor — the pad at stem-pool
+        # resolution was the single largest cube-padding cost (measured
+        # r5: 7.67 -> ~4 ms of the 22 ms batch, tools/profile_backbone.py)
+        from cp360_tpu.ops.cube_pad import cube_pad_max_pool_3x3s2
+
+        out = cube_pad_max_pool_3x3s2(
+            out.reshape(-1, 6, *out.shape[1:]))
+        out = out.reshape(-1, *out.shape[2:])
+    else:
+        out = _pad(out, 1, use_cube_pad)
+        out = layers.max_pool(out, 3, 2)
 
     for li, depth in enumerate(depths):
         stage = params[f"layer{li + 1}"]

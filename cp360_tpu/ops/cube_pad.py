@@ -445,3 +445,55 @@ def cube_pad_dus(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     if rcol is not None:
         out = out.at[:, :, :, p_l + w:, :].set(rcol)
     return out[0] if squeeze else out
+
+
+@jax.jit
+def cube_pad_max_pool_3x3s2(x: jax.Array) -> jax.Array:
+    """EXACT ``max_pool(cube_pad(x, 1), 3, stride 2)`` without ever
+    materializing the padded tensor — the ResNet stem-pool fusion.
+
+    Pool-window arithmetic (even H): output window i covers padded rows
+    [2i, 2i+2] for i < H/2, so padded row H+1 and column W+1 — the whole
+    BOTTOM/RIGHT halo — are dead, and the TOP/LEFT halo reaches only
+    output row 0 / column 0.  The interior therefore pools from a
+    top/left -inf pad of the unpadded faces (one aligned copy instead of
+    the full strip assembly + 114x114 rewrite), and output row 0 / col 0
+    take a max with the 3-wide/stride-2 windowed top/left halo strips,
+    gathered directly off the index map (a [6*(H+1+W+1), C] take — halo
+    bytes only).  Exact by construction: max is insensitive to how the
+    window's cells are grouped (measured r5: the materialized pad+pool
+    phase was 7.67 ms of the 22 ms stage-1 backbone batch — the single
+    largest cube-padding cost, tools/profile_backbone.py).
+
+    x: [N, 6, H, W, C] (H = W, even) -> [N, 6, H/2, W/2, C].
+    Replaces the reference's CubePadding(1) + nn.MaxPool2d(3, 2)
+    (model/resnet_cubic.py:118-119,166-167).
+    """
+    n, six, h, w, c = x.shape
+    assert six == 6 and h == w and h % 2 == 0, (n, six, h, w, c)
+    m = build_cube_pad_index_map(h, w, 1)  # [6, h+2, w+2] into flat [6hw]
+    ring_t = jnp.asarray(m[:, 0, : w + 1].reshape(-1))   # top halo row
+    ring_l = jnp.asarray(m[:, : h + 1, 0].reshape(-1))   # left halo col
+    flat = x.reshape(n, six * h * w, c)
+    halo_t = jnp.take(flat, ring_t, axis=1).reshape(n, six, w + 1, c)
+    halo_l = jnp.take(flat, ring_l, axis=1).reshape(n, six, h + 1, c)
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = jnp.asarray(-jnp.inf, x.dtype)
+    else:
+        neg = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    xp = jnp.pad(x.reshape(n * six, h, w, c),
+                 [(0, 0), (1, 0), (1, 0), (0, 0)], constant_values=neg)
+    pooled = jax.lax.reduce_window(
+        xp, neg, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    ).reshape(n, six, h // 2, w // 2, c)
+
+    def win3(s):
+        # [-, L, C] (L odd) -> stride-2 max over 3-wide windows, (L-1)/2 out
+        return jnp.maximum(jnp.maximum(s[:, :, 0:-2:2], s[:, :, 1:-1:2]),
+                           s[:, :, 2::2])
+
+    row0 = jnp.maximum(pooled[:, :, 0], win3(halo_t))          # [n,6,w/2,c]
+    pooled = jnp.concatenate([row0[:, :, None], pooled[:, :, 1:]], axis=2)
+    col0 = jnp.maximum(pooled[:, :, :, 0], win3(halo_l))       # [n,6,h/2,c]
+    return jnp.concatenate([col0[:, :, :, None], pooled[:, :, :, 1:]], axis=3)

@@ -117,3 +117,20 @@ def test_zero_pad():
 def test_get_pad_size():
     assert get_pad_size(3) == (3, 3, 3, 3)
     assert get_pad_size([1, 2, 3, 4]) == (1, 2, 3, 4)
+
+
+def test_cube_pad_max_pool_fused_exact():
+    """cube_pad_max_pool_3x3s2 == max_pool(cube_pad(x, 1), 3, 2) bit-exact
+    (the stem-pool fusion, models/resnet.py; max is grouping-insensitive so
+    no tolerance is needed)."""
+    from cp360_tpu.models.layers import max_pool
+    from cp360_tpu.ops.cube_pad import cube_pad, cube_pad_max_pool_3x3s2
+
+    rng = np.random.RandomState(3)
+    for h, c, dt in ((8, 5, np.float32), (14, 3, np.float32),
+                     (16, 4, np.float16)):
+        x = jnp.asarray(rng.randn(2, 6, h, h, c).astype(dt))
+        want = max_pool(cube_pad(x, 1).reshape(12, h + 2, h + 2, c), 3, 2)
+        got = cube_pad_max_pool_3x3s2(x)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(12, h // 2, h // 2, c), np.asarray(want))

@@ -249,6 +249,81 @@ def profile_int8(batch, n_iters):
     return out
 
 
+def profile_pool(batch, n_iters):
+    """Stem-pool forms at [batch*6, 112, 112, 64] bf16: materialized
+    cube_pad+pool vs the fused op (reduce_window interior) vs the fused op
+    with a 9-strided-slice max tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cp360_tpu.models.layers import max_pool
+    from cp360_tpu.ops.cube_pad import (
+        build_cube_pad_index_map,
+        cube_pad,
+        cube_pad_max_pool_3x3s2,
+    )
+    from cp360_tpu.utils.transfer import warm_link
+
+    warm_link()
+    h, c = 112, 64
+    key = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def mk(k):
+        return jax.random.normal(k, (batch, 6, h, h, c), jnp.bfloat16)
+
+    xs = jnp.stack([mk(jax.random.fold_in(key, i)) for i in range(n_iters)])
+
+    def unfused(x):
+        return max_pool(cube_pad(x, 1).reshape(-1, h + 2, h + 2, c), 3, 2)
+
+    def fused(x):
+        return cube_pad_max_pool_3x3s2(x)
+
+    def fused9(x):
+        n = x.shape[0]
+        m = build_cube_pad_index_map(h, h, 1)
+        ring_t = jnp.asarray(m[:, 0, : h + 1].reshape(-1))
+        ring_l = jnp.asarray(m[:, : h + 1, 0].reshape(-1))
+        flat = x.reshape(n, 6 * h * h, c)
+        halo_t = jnp.take(flat, ring_t, axis=1).reshape(n, 6, h + 1, c)
+        halo_l = jnp.take(flat, ring_l, axis=1).reshape(n, 6, h + 1, c)
+        neg = jnp.asarray(-jnp.inf, x.dtype)
+        xp = jnp.pad(x.reshape(n * 6, h, h, c),
+                     [(0, 0), (1, 0), (1, 0), (0, 0)], constant_values=neg)
+        oh = h // 2
+        pooled = None
+        for dy in range(3):
+            for dx in range(3):
+                s = jax.lax.slice(xp, (0, dy, dx, 0),
+                                  (n * 6, dy + 2 * oh - 1, dx + 2 * oh - 1, c),
+                                  (1, 2, 2, 1))
+                pooled = s if pooled is None else jnp.maximum(pooled, s)
+        pooled = pooled.reshape(n, 6, oh, oh, c)
+
+        def win3(s):
+            return jnp.maximum(jnp.maximum(s[:, :, 0:-2:2], s[:, :, 1:-1:2]),
+                               s[:, :, 2::2])
+
+        row0 = jnp.maximum(pooled[:, :, 0], win3(halo_t))
+        pooled = jnp.concatenate([row0[:, :, None], pooled[:, :, 1:]], axis=2)
+        col0 = jnp.maximum(pooled[:, :, :, 0], win3(halo_l))
+        return jnp.concatenate([col0[:, :, :, None], pooled[:, :, :, 1:]],
+                               axis=3)
+
+    a = np.asarray(fused9(xs[0]), np.float32)
+    b = np.asarray(fused(xs[0]), np.float32)
+    assert np.array_equal(a, b), np.max(np.abs(a - b))
+
+    out = {}
+    for name, fn in (("unfused_ms", unfused), ("fused_rw_ms", fused),
+                     ("fused_9slice_ms", fused9)):
+        out[name] = round(_scan_time(jax, jnp, fn, xs, n_iters), 2)
+    print(json.dumps({"metric": "stem_pool_forms_ms", "batch": batch, **out}),
+          flush=True)
+    return out
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -259,6 +334,8 @@ def main():
         profile_im2col(batch, n_iters)
     if mode in ("int8", "all"):
         profile_int8(batch, n_iters)
+    if mode in ("pool", "all"):
+        profile_pool(batch, n_iters)
 
 
 if __name__ == "__main__":
