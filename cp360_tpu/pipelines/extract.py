@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -113,19 +113,23 @@ def host_equi_to_cube_u8(frame_u8: np.ndarray, cube_dim: int) -> np.ndarray:
     """
     import cv2
 
-    from cp360_tpu.geometry import build_equi2cube_maps
-
     h, w = frame_u8.shape[:2]
-    in_x, in_y = build_equi2cube_maps(cube_dim, h, w)
+    in_x, in_y = _equi2cube_maps_f32(cube_dim, h, w)
     faces = np.empty((6, cube_dim, cube_dim, 3), np.uint8)
     for f in range(6):
-        faces[f] = cv2.remap(
-            frame_u8,
-            in_x[f].astype(np.float32),
-            in_y[f].astype(np.float32),
-            cv2.INTER_LINEAR,
-        )
+        faces[f] = cv2.remap(frame_u8, in_x[f], in_y[f], cv2.INTER_LINEAR)
     return faces
+
+
+@lru_cache(maxsize=8)
+def _equi2cube_maps_f32(cube_dim: int, h: int, w: int):
+    """cv2.remap wants f32 maps; converting the cached f64 maps per call
+    cost ~1-2 host-ms per frame on the serving path — cache the f32 form."""
+    from cp360_tpu.geometry import build_equi2cube_maps
+
+    in_x, in_y = build_equi2cube_maps(cube_dim, h, w)
+    return (np.ascontiguousarray(in_x.astype(np.float32)),
+            np.ascontiguousarray(in_y.astype(np.float32)))
 
 
 # --- 4:2:0 chroma-subsampled upload (halves H2D bytes) ---------------------

@@ -155,6 +155,11 @@ class SaliencyModel:
                 self.clstm_params = jax.device_put(
                     clstm_params, pm.replicated(self.mesh))
         self._warming = False  # warmup submits bypass the request timeout
+        # host-side per-request work (decode, remap, yuv pack) — the
+        # serving ceiling on a CPU-poor host; written GIL-atomically by
+        # handler threads, read by /healthz and the sweep bench
+        self.host_stats = {"prep_s": 0.0, "preps": 0,
+                           "decode_s": 0.0, "decodes": 0}
         self._lock = threading.Lock()
         self._sessions: dict = {}  # id -> list of device [6, h, w, C] cubes
         # every transfer/dispatch goes through either the batcher worker or
@@ -266,14 +271,26 @@ class SaliencyModel:
             host_rgb_to_yuv420,
         )
 
+        t0 = time.monotonic()
         wh = (self.cfg.equi_h, self.cfg.equi_w)
-        img = Image.fromarray(frame_u8).resize(
-            wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
-        )
-        faces = host_equi_to_cube_u8(np.asarray(img, np.uint8), self.cfg.cube_dim)
-        if self.cfg.upload_format == "yuv420":
-            return host_rgb_to_yuv420(faces)
-        return (faces,)
+        if frame_u8.shape[:2] == (wh[1], wh[0]):
+            # already at protocol size: the Lanczos pass was a ~full-frame
+            # no-op costing tens of host-ms per request on this 1-core box
+            # (identical pixels — PIL resize to the same size is identity)
+            equi = frame_u8
+        else:
+            img = Image.fromarray(frame_u8).resize(
+                wh, resample=getattr(Image, "LANCZOS", Image.Resampling.LANCZOS)
+            )
+            equi = np.asarray(img, np.uint8)
+        faces = host_equi_to_cube_u8(equi, self.cfg.cube_dim)
+        out = (host_rgb_to_yuv420(faces)
+               if self.cfg.upload_format == "yuv420" else (faces,))
+        # monitoring-grade accumulation (GIL-atomic enough, like batcher
+        # stats): names the host-CPU share of the serving ceiling
+        self.host_stats["prep_s"] += time.monotonic() - t0
+        self.host_stats["preps"] += 1
+        return out
 
     def _run_stage1_batch(self, preps: list):
         """Batcher callback: N prepped requests -> ONE fused device step.
@@ -505,6 +522,7 @@ def make_handler(model: SaliencyModel):
                 }
                 if model._temporal_batcher is not None:
                     info["temporal_batching"] = dict(model._temporal_batcher.stats)
+                info["host"] = dict(model.host_stats)
                 self._send(200, json.dumps(info).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
@@ -514,8 +532,12 @@ def make_handler(model: SaliencyModel):
             raw = self.rfile.read(length)
             from PIL import Image
 
+            t0 = time.monotonic()
             img = Image.open(io.BytesIO(raw)).convert("RGB")
-            return np.asarray(img, np.uint8)
+            out = np.asarray(img, np.uint8)
+            model.host_stats["decode_s"] += time.monotonic() - t0
+            model.host_stats["decodes"] += 1
+            return out
 
         def _do_temporal(self, route: str):
             qs = parse_qs(urlparse(self.path).query)

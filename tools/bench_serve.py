@@ -102,25 +102,21 @@ def sweep_main():
         lats, fails = [], []
         lock = threading.Lock()
 
-        def sal_client(seed):
-            r = np.random.RandomState(seed)
-            for _ in range(n_per):
-                body = jpeg(r)
+        def sal_client(seed, bodies):
+            for body in bodies:
                 t = time.time()
                 status, _ = _post_status(port, "/saliency", body)
                 with lock:
                     (lats if status == 200 else fails).append(time.time() - t)
 
-        def tmp_client(seed):
-            r = np.random.RandomState(seed)
+        def tmp_client(seed, bodies):
             status, data = _post_status(port, "/temporal/session", b"")
             if status != 200:
                 with lock:
                     fails.append(0.0)
                 return
             sid = json.loads(data)["session"]
-            for _ in range(n_per):
-                body = jpeg(r)
+            for body in bodies:
                 t = time.time()
                 status, _ = _post_status(port, f"/temporal/frame?session={sid}",
                                          body)
@@ -132,11 +128,22 @@ def sweep_main():
         # across runs, which would fake the upload cost
         seeds = [int.from_bytes(os.urandom(4), "little")
                  for _ in range(conc)]
+        # PRE-generate every request body before the clock starts: this
+        # host has ONE core, so in-loop rand+JPEG-encode (~0.2 s each)
+        # competed with the server's own host work and measured the load
+        # GENERATOR, not the server — the r4 sweep's 16-client 'regression'
+        # was largely this (VERDICT r4 weak #2)
+        all_bodies = [[jpeg(np.random.RandomState(s * 1000 + j))
+                       for j in range(n_per)] for s in seeds]
         s0 = dict(model._batcher.stats)
         st0 = dict(model._temporal_batcher.stats)
-        ths = ([threading.Thread(target=sal_client, args=(seeds[i],))
+        h0 = dict(model.host_stats)
+        ths = ([threading.Thread(target=sal_client,
+                                 args=(seeds[i], all_bodies[i]))
                 for i in range(n_sal)]
-               + [threading.Thread(target=tmp_client, args=(seeds[n_sal + i],))
+               + [threading.Thread(target=tmp_client,
+                                   args=(seeds[n_sal + i],
+                                         all_bodies[n_sal + i]))
                   for i in range(n_tmp)])
         t0 = time.time()
         for t in ths:
@@ -146,6 +153,7 @@ def sweep_main():
         wall = time.time() - t0
         s1 = dict(model._batcher.stats)
         st1 = dict(model._temporal_batcher.stats)
+        h1 = dict(model.host_stats)
         d_items = (s1["items"] - s0["items"]) + (st1["items"] - st0["items"])
         d_batches = ((s1["batches"] - s0["batches"])
                      + (st1["batches"] - st0["batches"]))
@@ -167,6 +175,16 @@ def sweep_main():
             "mean_batch": round(d_items / max(1, d_batches), 2),
             "max_group": max(s1["max_group"], st1["max_group"]),
             "occupancy": round(d_busy / wall, 3),
+            # host-CPU share of the wall (decode + prep): the serving
+            # ceiling on this 1-core box is named when this approaches 1.0
+            "host_cpu": round(((h1["prep_s"] - h0["prep_s"])
+                               + (h1["decode_s"] - h0["decode_s"])) / wall, 3),
+            "host_prep_ms": round(
+                (h1["prep_s"] - h0["prep_s"]) * 1e3
+                / max(1, h1["preps"] - h0["preps"]), 1),
+            "host_decode_ms": round(
+                (h1["decode_s"] - h0["decode_s"]) * 1e3
+                / max(1, h1["decodes"] - h0["decodes"]), 1),
         }), flush=True)
 
     httpd.shutdown()
