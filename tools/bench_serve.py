@@ -133,7 +133,7 @@ def sweep_main():
         # competed with the server's own host work and measured the load
         # GENERATOR, not the server — the r4 sweep's 16-client 'regression'
         # was largely this (VERDICT r4 weak #2)
-        all_bodies = [[jpeg(np.random.RandomState(s * 1000 + j))
+        all_bodies = [[jpeg(np.random.RandomState((s * 1000 + j) % 2**32))
                        for j in range(n_per)] for s in seeds]
         s0 = dict(model._batcher.stats)
         st0 = dict(model._temporal_batcher.stats)
