@@ -96,6 +96,24 @@ def sweep_main():
         img.save(buf, "JPEG")
         return buf.getvalue()
 
+    # per-request tunnel traffic, from the shapes that actually cross it
+    # (VERDICT r4 stretch: "quantize the serving D2H"): H2D is the prepped
+    # yuv420/u8 cube upload, D2H is ONLY the [2h,4w] f32 map per prediction
+    # — scores stay device-resident (server._run_stage1_batch), so the
+    # response stream is already ~300x smaller than the upload and an int8
+    # response codec would move <0.4% of the request's link bytes
+    cd = cfg.cube_dim
+    hh = cd // 32  # resnet stage-5 stride -> CAM plane h (224 -> 7)
+    up_b = int(6 * cd * cd * (1.5 if cfg.upload_format == "yuv420" else 3))
+    down_b = (2 * hh) * (4 * hh) * 4
+    print(json.dumps({
+        "metric": "serve_link_budget",
+        "h2d_bytes_per_request": up_b,
+        "d2h_bytes_per_prediction": down_b,
+        "d2h_share_of_link": round(down_b / (up_b + down_b), 4),
+        "upload_format": cfg.upload_format,
+    }), flush=True)
+
     for conc in levels:
         n_sal = max(1, (conc + 1) // 2)  # mixed: ceil half saliency ...
         n_tmp = conc - n_sal             # ... floor half temporal sessions
