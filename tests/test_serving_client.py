@@ -96,9 +96,12 @@ def test_client_errors(temporal_server):
 def test_client_retries_504(monkeypatch):
     """A 504 (device step timed out, no state mutated) is retried and the
     retry succeeds once the device worker unwedges."""
+    # generous margins: with the 1.0 s timeout this test raced real compute
+    # on a contended 1-core host (the retry 504'd on honest slowness, not
+    # the wedge) — the wedge is what's under test, so give compute room
     cfg = Config(equi_h=256, equi_w=128, cube_dim=64,
                  compute_dtype="float32", serve_max_batch=2,
-                 serve_request_timeout_s=1.0)
+                 serve_request_timeout_s=4.0)
     params = init_resnet_params(jax.random.PRNGKey(0), "resnet18")
     model = SaliencyModel(params, cfg, arch="resnet18")
     httpd = serve(model, host="127.0.0.1", port=0, warmup=True)
@@ -114,12 +117,12 @@ def test_client_retries_504(monkeypatch):
         def wedged(items):
             if not calls:
                 calls.append(1)
-                stall.wait(10.0)  # first batch wedges past the 1 s timeout
+                stall.wait(30.0)  # first batch wedges past the 4 s timeout
             return real_run(items)
 
         monkeypatch.setattr(model._batcher, "_run_batch", wedged)
-        c = SaliencyClient(port=port, retries=2, retry_backoff_s=0.2)
-        t = threading.Timer(2.0, stall.set)  # unwedge before the retry
+        c = SaliencyClient(port=port, retries=3, retry_backoff_s=0.5)
+        t = threading.Timer(5.0, stall.set)  # unwedge before the retry
         t.start()
         sal = c.saliency(_rgb(7))
         t.join()
