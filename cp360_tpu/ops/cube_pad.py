@@ -50,6 +50,16 @@ if CUBE_PAD_FORM not in ("", "explicit", "dus", "gather"):
         f"CP360_CUBE_PAD_FORM={CUBE_PAD_FORM!r} is not one of "
         f"'', 'explicit', 'dus', 'gather'")
 
+# stem-pool execution form (cube_pad_max_pool_3x3s2): 'fused2d' is one 2-D
+# overlapping reduce_window; 'separable' splits it into a 3x1 row pass then
+# a 1x3 col pass (exact — max is separable).  A/B'd on-chip by
+# tools/bench_pool_forms.py; same import-time validation as the pad form.
+POOL_FORM = _os.environ.get("CP360_POOL_FORM", "")
+if POOL_FORM not in ("", "fused2d", "separable"):
+    raise ValueError(
+        f"CP360_POOL_FORM={POOL_FORM!r} is not one of "
+        f"'', 'fused2d', 'separable'")
+
 
 def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:
     """Normalize pad spec to (left, right, top, down).
@@ -447,8 +457,8 @@ def cube_pad_dus(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     return out[0] if squeeze else out
 
 
-@jax.jit
-def cube_pad_max_pool_3x3s2(x: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("form",))
+def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
     """EXACT ``max_pool(cube_pad(x, 1), 3, stride 2)`` without ever
     materializing the padded tensor — the ResNet stem-pool fusion.
 
@@ -468,7 +478,16 @@ def cube_pad_max_pool_3x3s2(x: jax.Array) -> jax.Array:
     x: [N, 6, H, W, C] (H = W, even) -> [N, 6, H/2, W/2, C].
     Replaces the reference's CubePadding(1) + nn.MaxPool2d(3, 2)
     (model/resnet_cubic.py:118-119,166-167).
+
+    ``form``: interior-pool execution form — 'fused2d' (one 2-D
+    overlapping reduce_window) or 'separable' (3x1 rows then 1x3 cols;
+    exact, since max over a 3x3 window is the max of row maxes).  Default
+    None resolves CP360_POOL_FORM, falling back to 'fused2d'.
     """
+    if form is None:
+        form = POOL_FORM or "fused2d"
+    if form not in ("fused2d", "separable"):
+        raise ValueError(f"unknown pool form {form!r}")
     n, six, h, w, c = x.shape
     assert six == 6 and h == w and h % 2 == 0, (n, six, h, w, c)
     m = build_cube_pad_index_map(h, w, 1)  # [6, h+2, w+2] into flat [6hw]
@@ -484,9 +503,16 @@ def cube_pad_max_pool_3x3s2(x: jax.Array) -> jax.Array:
         neg = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
     xp = jnp.pad(x.reshape(n * six, h, w, c),
                  [(0, 0), (1, 0), (1, 0), (0, 0)], constant_values=neg)
-    pooled = jax.lax.reduce_window(
-        xp, neg, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
-    ).reshape(n, six, h // 2, w // 2, c)
+    if form == "separable":
+        rows = jax.lax.reduce_window(
+            xp, neg, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1), "VALID")
+        pooled = jax.lax.reduce_window(
+            rows, neg, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1), "VALID"
+        ).reshape(n, six, h // 2, w // 2, c)
+    else:
+        pooled = jax.lax.reduce_window(
+            xp, neg, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+        ).reshape(n, six, h // 2, w // 2, c)
 
     def win3(s):
         # [-, L, C] (L odd) -> stride-2 max over 3-wide windows, (L-1)/2 out

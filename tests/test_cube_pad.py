@@ -131,6 +131,16 @@ def test_cube_pad_max_pool_fused_exact():
                      (16, 4, np.float16)):
         x = jnp.asarray(rng.randn(2, 6, h, h, c).astype(dt))
         want = max_pool(cube_pad(x, 1).reshape(12, h + 2, h + 2, c), 3, 2)
-        got = cube_pad_max_pool_3x3s2(x)
-        np.testing.assert_array_equal(
-            np.asarray(got).reshape(12, h // 2, h // 2, c), np.asarray(want))
+        for form in ("fused2d", "separable"):
+            got = cube_pad_max_pool_3x3s2(x, form=form)
+            np.testing.assert_array_equal(
+                np.asarray(got).reshape(12, h // 2, h // 2, c),
+                np.asarray(want), err_msg=form)
+
+
+def test_cube_pad_max_pool_rejects_unknown_form():
+    from cp360_tpu.ops.cube_pad import cube_pad_max_pool_3x3s2
+
+    x = jnp.zeros((1, 6, 8, 8, 2), jnp.float32)
+    with pytest.raises(ValueError, match="pool form"):
+        cube_pad_max_pool_3x3s2(x, form="fussed2d")

@@ -15,8 +15,14 @@ Replaces nothing in the reference (its extractor is a fixed batch-1 torch
 loop, static_model/dataset_feat_extractor.py:119-192); this calibrates OUR
 headline compute number's operating point.
 
+Also sweeps the transfer codec per batch (``int8`` = the e2e graph's
+in-graph quantization, ~3.2 ms of the 22.7 ms r4 profile; ``none`` = the
+pure compute graph a PCIe-attached host would run, no link codec), so the
+codec's compute share is measured rather than assumed.
+
 Usage: python tools/bench_scan_batch.py [batches=16,32,64] [n_frames=160]
-Prints one JSON line per batch size, then a summary line.
+           [codecs=int8,none]
+Prints one JSON line per (batch, codec), then a summary line.
 """
 
 import json
@@ -33,6 +39,7 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     batches = [int(x) for x in (argv[0].split(",") if argv else ["16", "32", "64"])]
     n_frames = int(argv[1]) if len(argv) > 1 else 160
+    codecs = argv[2].split(",") if len(argv) > 2 else ["int8", "none"]
 
     import jax
     import jax.numpy as jnp
@@ -43,14 +50,14 @@ def main():
     params = jax.device_put(init_resnet_params(jax.random.PRNGKey(0), "resnet50"))
 
     results = []
-    for batch in batches:
+    for batch, codec in [(b, c) for b in batches for c in codecs]:
         n_iters = max(2, n_frames // batch)
 
-        def compute(yuv, batch=batch):
+        def compute(yuv, batch=batch, codec=codec):
             return stage1_batch_faces_yuv(
                 params, *yuv, arch="resnet50", use_cube_pad=True,
                 compute_dtype=jnp.bfloat16, out_dtype=jnp.float16,
-                codec="int8",
+                codec=codec,
             )
 
         @jax.jit
@@ -88,6 +95,7 @@ def main():
         line = {
             "metric": "stage1_scan_batch",
             "batch": batch,
+            "codec": codec,
             "n_iters": n_iters,
             "ms_per_batch": round(float(np.median(ms)), 2),
             "fps": round(float(np.median(fps)), 1),
@@ -100,7 +108,8 @@ def main():
 
     best = max(results, key=lambda r: r["fps"])
     print(json.dumps({"metric": "stage1_scan_batch_best",
-                      "batch": best["batch"], "fps": best["fps"],
+                      "batch": best["batch"], "codec": best["codec"],
+                      "fps": best["fps"],
                       "fps_iqr": best["fps_iqr"]}), flush=True)
 
 
