@@ -47,13 +47,26 @@ _EXPANSION = {"basic": 1, "bottleneck": 4}
 _pad = layers.pad_faces
 
 
-def _bottleneck(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype) -> jax.Array:
+def _bottleneck(p: dict, x: jax.Array, stride: int, use_cp: bool, dtype,
+                conv_form: str = "pad") -> jax.Array:
     out = layers.conv2d(x, p["conv1"]["w"], compute_dtype=dtype)
     out = layers.batch_norm(out, p["bn1"])
     out = jax.nn.relu(out)
 
-    out = _pad(out, 1, use_cp)
-    out = layers.conv2d(out, p["conv2"]["w"], stride=stride, compute_dtype=dtype)
+    if use_cp and conv_form == "halo" and out.shape[1] == out.shape[2]:
+        # border-correction cube conv: never materializes the padded tensor
+        # (ops/cube_pad.py::cube_pad_conv3x3 'halo'; reassociates the border
+        # ring's sum — f32 parity paths keep 'pad')
+        from cp360_tpu.ops.cube_pad import cube_pad_conv3x3
+
+        out = cube_pad_conv3x3(
+            out.reshape(-1, 6, *out.shape[1:]), p["conv2"]["w"],
+            stride=stride, compute_dtype=dtype, form="halo")
+        out = out.reshape(-1, *out.shape[2:])
+    else:
+        out = _pad(out, 1, use_cp)
+        out = layers.conv2d(out, p["conv2"]["w"], stride=stride,
+                            compute_dtype=dtype)
     out = layers.batch_norm(out, p["bn2"])
     out = jax.nn.relu(out)
 
@@ -121,7 +134,8 @@ def _stem_space_to_depth(xp: jax.Array, w7: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("arch", "use_cube_pad", "compute_dtype",
-                                   "with_logits", "stem_s2d"))
+                                   "with_logits", "stem_s2d",
+                                   "cube_conv_form"))
 def resnet_apply(
     params: dict,
     x: jax.Array,
@@ -130,6 +144,7 @@ def resnet_apply(
     compute_dtype=jnp.bfloat16,
     with_logits: bool = True,
     stem_s2d: Optional[bool] = None,
+    cube_conv_form: Optional[str] = None,
 ) -> Tuple[Optional[jax.Array], jax.Array]:
     """Forward pass.
 
@@ -144,6 +159,10 @@ def resnet_apply(
     """
     kind, depths = ARCHS[arch]
     block = _bottleneck if kind == "bottleneck" else _basic_block
+    if cube_conv_form is None:
+        from cp360_tpu.ops.cube_pad import CUBE_CONV_FORM
+
+        cube_conv_form = CUBE_CONV_FORM or "pad"
 
     if x.ndim == 5:
         x = x.reshape(-1, *x.shape[2:])
@@ -189,7 +208,12 @@ def resnet_apply(
         stage = params[f"layer{li + 1}"]
         for bi in range(depth):
             stride = 2 if (li > 0 and bi == 0) else 1
-            out = block(stage[bi], out, stride, use_cube_pad, compute_dtype)
+            if kind == "bottleneck":
+                out = block(stage[bi], out, stride, use_cube_pad,
+                            compute_dtype, conv_form=cube_conv_form)
+            else:
+                out = block(stage[bi], out, stride, use_cube_pad,
+                            compute_dtype)
 
     feats = out  # layer4 output — the CAM feature map
     if not with_logits:

@@ -60,6 +60,17 @@ if POOL_FORM not in ("", "fused2d", "separable"):
         f"CP360_POOL_FORM={POOL_FORM!r} is not one of "
         f"'', 'fused2d', 'separable'")
 
+# Bottleneck 3x3 cube-conv execution form (cube_pad_conv3x3): 'pad'
+# materializes cube_pad(x, 1) then convolves VALID; 'halo' runs a zero-pad
+# conv (interior exact — the halo taps hit zeros) plus thin border-strip
+# correction convs gathered off the index map, never building the padded
+# tensor.  A/B'd on-chip by tools/bench_cube_conv.py.
+CUBE_CONV_FORM = _os.environ.get("CP360_CUBE_CONV_FORM", "")
+if CUBE_CONV_FORM not in ("", "pad", "halo"):
+    raise ValueError(
+        f"CP360_CUBE_CONV_FORM={CUBE_CONV_FORM!r} is not one of "
+        f"'', 'pad', 'halo'")
+
 
 def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:
     """Normalize pad spec to (left, right, top, down).
@@ -523,3 +534,94 @@ def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
     pooled = jnp.concatenate([row0[:, :, None], pooled[:, :, 1:]], axis=2)
     col0 = jnp.maximum(pooled[:, :, :, 0], win3(halo_l))       # [n,6,h/2,c]
     return jnp.concatenate([col0[:, :, :, None], pooled[:, :, :, 1:]], axis=3)
+
+
+def cube_pad_conv3x3(x: jax.Array, w: jax.Array, stride: int = 1,
+                     compute_dtype=None, form: str = None) -> jax.Array:
+    """``conv2d(cube_pad(x, 1), w, stride, VALID)`` — the Bottleneck 3x3
+    hot path (reference model/resnet_cubic.py:92-93: CubePad(1) before every
+    Bottleneck 3x3) — optionally WITHOUT materializing the padded tensor.
+
+    form='pad' (semantic baseline): cube_pad then a VALID conv.
+
+    form='halo': one zero-padding conv over the raw faces — interior
+    outputs are exact because the padding taps contribute 0 — plus thin
+    correction convs over the halo strips gathered straight off the index
+    map, added onto the border ring:
+
+      out[0, j]   += sum_b w[0, b] * halo_top[j*s + b]      (1x3, corners in)
+      out[-1, j]  += sum_b w[2, b] * halo_bot[j + b]        (stride 1 only)
+      out[i, 0]   += sum_a w[a, 0] * halo_left[i*s + a - 1] (3x1, zero-ended)
+      out[i, -1]  += sum_a w[a, 2] * halo_right[i + a - 1]  (stride 1 only)
+
+    Corner bookkeeping: the top/bottom strips carry their corner pixels
+    (so out[0,0] gets w[0,0]*xpad[-1,-1] exactly once) and the left/right
+    strips exclude them (their 3x1 convs are zero-padded at the ends).  At
+    stride 2 on even H the bottom/right halos are DEAD (output row i covers
+    padded rows [2i, 2i+2], so padded row H+1 / col W+1 are never read) —
+    the same window arithmetic the fused pool exploits.
+
+    Numerics: 'halo' reassociates the border ring's 9-tap sum (main conv
+    rounds before the correction adds), so it matches 'pad' to f32
+    reassociation error (~1e-6 rel) / one output-dtype ulp in bf16 — NOT
+    bit-exact.  The f32 parity paths keep 'pad'.
+
+    x: [N, 6, H, W, C] (H = W); w: [3, 3, C, Co].
+    Returns [N, 6, H', W', Co] with H' = H/stride.
+    """
+    from cp360_tpu.models import layers
+
+    if form is None:
+        form = CUBE_CONV_FORM or "pad"
+    if form not in ("pad", "halo"):
+        raise ValueError(f"unknown cube-conv form {form!r}")
+    n, six, h, wd, c = x.shape
+    assert six == 6 and h == wd and w.shape[:2] == (3, 3), (x.shape, w.shape)
+    assert stride in (1, 2) and (stride == 1 or h % 2 == 0), (stride, h)
+
+    if form == "pad":
+        xp = cube_pad(x, 1).reshape(n * 6, h + 2, wd + 2, c)
+        out = layers.conv2d(xp, w, stride=stride, compute_dtype=compute_dtype)
+        return out.reshape(n, 6, *out.shape[1:])
+
+    xf = x.reshape(n * 6, h, wd, c)
+    main = layers.conv2d(xf, w, stride=stride, padding=[(1, 1), (1, 1)],
+                         compute_dtype=compute_dtype)
+
+    m = build_cube_pad_index_map(h, wd, 1)  # [6, h+2, w+2] into flat [6hw]
+    flat = x.reshape(n, 6 * h * wd, c)
+    # one gather for every strip this stride needs (halo bytes only); strip
+    # lengths differ (w+2 rows vs h cols) so segments are sliced by offset
+    segs = [m[:, 0, :],             # top row, with corners    [6, w+2]
+            m[:, 1:h + 1, 0]]       # left col, no corners     [6, h]
+    if stride == 1:
+        segs += [m[:, h + 1, :],    # bottom row, with corners [6, w+2]
+                 m[:, 1:h + 1, wd + 1]]  # right col           [6, h]
+    lens = [s.shape[1] for s in segs]
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    ring = jnp.asarray(np.concatenate(segs, axis=1).reshape(-1))
+    total = int(offs[-1])
+    halo = jnp.take(flat, ring, axis=1).reshape(n * 6, total, c)
+
+    def seg(i):
+        return halo[:, int(offs[i]):int(offs[i + 1]), :]
+
+    halo_t = seg(0)[:, None]                           # [B, 1, w+2, c]
+    halo_l = seg(1)[:, :, None]                        # [B, h, 1, c]
+    corr_t = layers.conv2d(halo_t, w[0:1], stride=(1, stride),
+                           compute_dtype=compute_dtype)
+    corr_l = layers.conv2d(halo_l, w[:, 0:1], stride=(stride, 1),
+                           padding=[(1, 1), (0, 0)],
+                           compute_dtype=compute_dtype)
+    out = main.at[:, 0, :, :].add(corr_t[:, 0])
+    out = out.at[:, :, 0, :].add(corr_l[:, :, 0])
+    if stride == 1:
+        halo_b = seg(2)[:, None]
+        halo_r = seg(3)[:, :, None]
+        corr_b = layers.conv2d(halo_b, w[2:3], compute_dtype=compute_dtype)
+        corr_r = layers.conv2d(halo_r, w[:, 2:3],
+                               padding=[(1, 1), (0, 0)],
+                               compute_dtype=compute_dtype)
+        out = out.at[:, -1, :, :].add(corr_b[:, 0])
+        out = out.at[:, :, -1, :].add(corr_r[:, :, 0])
+    return out.reshape(n, 6, *out.shape[1:])

@@ -1,0 +1,127 @@
+"""On-chip A/B of the Bottleneck cube-conv forms (ops/cube_pad.py).
+
+'pad' materializes cube_pad(x, 1) then convolves VALID (pre-r5 baseline);
+'halo' runs a zero-padding conv over the raw faces plus thin border-strip
+correction convs gathered off the index map — the padded tensor is never
+built (the 16 bottleneck pads were most of the ~5.3 ms/batch cube-padding
+overhead in the r4 profile, tools/profile_stage1.py).  Replaces the
+reference's CubePad(1)+3x3 Bottleneck hot path
+(model/resnet_cubic.py:92-93).
+
+Each form runs in its own SUBPROCESS (the form is baked into traces —
+resnet_apply resolves CP360_CUBE_CONV_FORM once per process) and times the
+IDENTICAL full fused stage-1 graph bench.py's device_fps reports
+(pipelines/extract.py::stage1_batch_faces_yuv, batch 16, int8 codec),
+scanned in one dispatch per rep (standalone timings lie through this
+relay — CLAUDE.md).
+
+Usage: python tools/bench_cube_conv.py [batch=16] [n_frames=192]
+Prints one JSON line per form + a summary.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _worker(form, batch, n_frames):
+    os.environ["CP360_CUBE_CONV_FORM"] = form
+    import jax
+    import jax.numpy as jnp
+
+    from cp360_tpu.models.resnet import init_resnet_params
+    from cp360_tpu.ops import cube_pad as cp
+    from cp360_tpu.pipelines.extract import stage1_batch_faces_yuv
+    from cp360_tpu.utils.transfer import warm_link
+
+    assert cp.CUBE_CONV_FORM == form
+    warm_link()
+    n_iters = max(2, n_frames // batch)
+    params = jax.device_put(init_resnet_params(jax.random.PRNGKey(0),
+                                               "resnet50"))
+
+    @jax.jit
+    def make(k):
+        ky, kuv = jax.random.split(k)
+        y = jax.random.randint(ky, (batch, 6, 224, 224), 0, 256, jnp.uint8)
+        uv = jax.random.randint(kuv, (batch, 6, 112, 112, 2), 0, 256,
+                                jnp.uint8)
+        return y, uv
+
+    key = jax.random.PRNGKey(7)
+    planes = [make(jax.random.fold_in(key, i)) for i in range(n_iters)]
+    ys = jnp.stack([p[0] for p in planes])
+    uvs = jnp.stack([p[1] for p in planes])
+
+    @jax.jit
+    def scanned(ys, uvs):
+        def body(a, yuv):
+            outs = stage1_batch_faces_yuv(
+                params, *yuv, arch="resnet50", use_cube_pad=True,
+                compute_dtype=jnp.bfloat16, out_dtype=jnp.float16,
+                codec="int8")
+            return a + sum(jnp.sum(o[:1, :1].astype(jnp.float32))
+                           for o in outs), None
+        a, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (ys, uvs))
+        return a
+
+    t0 = time.time()
+    assert np.isfinite(float(scanned(ys, uvs)))  # compile + warm
+    compile_s = time.time() - t0
+    reps = []
+    for _ in range(5):
+        t0 = time.time()
+        assert np.isfinite(float(scanned(ys, uvs)))
+        reps.append(time.time() - t0)
+    fps = [batch / (r / n_iters) for r in reps]
+    print(json.dumps({
+        "metric": "cube_conv_form",
+        "form": form,
+        "batch": batch,
+        "n_iters": n_iters,
+        "ms_per_batch": round(float(np.median(reps)) / n_iters * 1e3, 2),
+        "fps": round(float(np.median(fps)), 1),
+        "fps_iqr": [round(float(np.percentile(fps, 25)), 1),
+                    round(float(np.percentile(fps, 75)), 1)],
+        "compile_s": round(compile_s, 1),
+    }), flush=True)
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if argv and argv[0] == "worker":
+        _worker(argv[1], int(argv[2]), int(argv[3]))
+        return
+    batch = int(argv[0]) if argv else 16
+    n_frames = int(argv[1]) if len(argv) > 1 else 192
+
+    results = []
+    for form in ("pad", "halo"):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker", form,
+             str(batch), str(n_frames)],
+            capture_output=True, text=True, timeout=560)
+        for ln in p.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                results.append(json.loads(ln))
+                print(ln, flush=True)
+        if p.returncode != 0:
+            print(json.dumps({"metric": "cube_conv_form", "form": form,
+                              "error": (p.stderr or "")[-400:]}), flush=True)
+    ok = [r for r in results if "fps" in r]
+    if ok:
+        best = max(ok, key=lambda r: r["fps"])
+        print(json.dumps({"metric": "cube_conv_form_best",
+                          "form": best["form"], "fps": best["fps"]}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
