@@ -162,7 +162,13 @@ def resnet_apply(
     if cube_conv_form is None:
         from cp360_tpu.ops.cube_pad import CUBE_CONV_FORM
 
-        cube_conv_form = CUBE_CONV_FORM or "pad"
+        # default: 'halo' under bf16 compute (measured on-chip r5: the full
+        # fused stage-1 graph runs 758.7 -> 848.7 fps, tools/
+        # bench_cube_conv.py — the 16 bottleneck pad materializations were
+        # ~2.2 ms/batch), 'pad' under f32 where golden parity is bit-tight
+        # (halo reassociates the border ring's sum).
+        cube_conv_form = CUBE_CONV_FORM or (
+            "pad" if compute_dtype in (None, jnp.float32) else "halo")
 
     if x.ndim == 5:
         x = x.reshape(-1, *x.shape[2:])
