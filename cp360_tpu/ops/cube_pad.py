@@ -55,10 +55,10 @@ if CUBE_PAD_FORM not in ("", "explicit", "dus", "gather"):
 # a 1x3 col pass (exact — max is separable).  A/B'd on-chip by
 # tools/bench_pool_forms.py; same import-time validation as the pad form.
 POOL_FORM = _os.environ.get("CP360_POOL_FORM", "")
-if POOL_FORM not in ("", "fused2d", "separable"):
+if POOL_FORM not in ("", "fused2d", "fused2d_dus", "separable", "pairmax"):
     raise ValueError(
         f"CP360_POOL_FORM={POOL_FORM!r} is not one of "
-        f"'', 'fused2d', 'separable'")
+        f"'', 'fused2d', 'fused2d_dus', 'separable', 'pairmax'")
 
 # Bottleneck 3x3 cube-conv execution form (cube_pad_conv3x3): 'pad'
 # materializes cube_pad(x, 1) then convolves VALID; 'halo' runs a zero-pad
@@ -70,6 +70,18 @@ if CUBE_CONV_FORM not in ("", "pad", "halo"):
     raise ValueError(
         f"CP360_CUBE_CONV_FORM={CUBE_CONV_FORM!r} is not one of "
         f"'', 'pad', 'halo'")
+
+# How the fused pool/conv extract their halo strips: 'gather' = one
+# jnp.take off the index map; 'slice' = the explicit plate construction
+# (contiguous neighbour-edge slices + flips).  Measured on-chip r5: slice
+# runs the full fused stage-1 graph at 899.1 fps vs gather's 848.7 (the
+# known short-C-row gather pathology of this libtpu, CLAUDE.md) — slice
+# is the default.
+HALO_SOURCE = _os.environ.get("CP360_HALO_SOURCE", "")
+if HALO_SOURCE not in ("", "gather", "slice"):
+    raise ValueError(
+        f"CP360_HALO_SOURCE={HALO_SOURCE!r} is not one of "
+        f"'', 'gather', 'slice'")
 
 
 def get_pad_size(lrtd_pad: Pads) -> Tuple[int, int, int, int]:
@@ -468,6 +480,40 @@ def cube_pad_dus(x: jax.Array, lrtd_pad: Pads) -> jax.Array:
     return out[0] if squeeze else out
 
 
+def _pool_halo_strips_slice(x):
+    """Pool halo strips via the explicit plate construction (no gather).
+
+    x: [N, 6, H, W, C] -> (halo_t [N,6,W+1,C], halo_l [N,6,H+1,C]): the
+    padded row 0 over cols 0..W (corner_tl + top plate) and padded col 0
+    over rows 0..H (corner_tl + left plate) — exactly the
+    ``m[:, 0, :w+1]`` / ``m[:, :h+1, 0]`` index-map entries.
+    """
+    top, _, lcol, _ = _plates_and_cols_jnp(x, 1, 0, 1, 0)
+    halo_t = jnp.concatenate([lcol[:, :, 0], top[:, :, 0]], axis=2)
+    return halo_t, lcol[:, :, :, 0]
+
+
+def _conv_halo_strips_slice(x, with_bottom_right):
+    """Conv halo strips via the explicit plate construction (no gather).
+
+    Returns (halo_t, halo_l, halo_b, halo_r): full padded rows 0 / H+1
+    (length W+2, corners in) and padded cols 0 / W+1 without corner rows
+    (length H); halo_b/halo_r are None when with_bottom_right is False.
+    """
+    h = x.shape[2]
+    p_d = 1 if with_bottom_right else 0
+    top, down, lcol, rcol = _plates_and_cols_jnp(x, 1, 1, 1, p_d)
+    halo_t = jnp.concatenate(
+        [lcol[:, :, 0], top[:, :, 0], rcol[:, :, 0]], axis=2)
+    halo_l = lcol[:, :, 1:1 + h, 0]
+    halo_r = rcol[:, :, 1:1 + h, 0]
+    halo_b = None
+    if with_bottom_right:
+        halo_b = jnp.concatenate(
+            [lcol[:, :, -1], down[:, :, 0], rcol[:, :, -1]], axis=2)
+    return halo_t, halo_l, halo_b, halo_r
+
+
 @partial(jax.jit, static_argnames=("form",))
 def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
     """EXACT ``max_pool(cube_pad(x, 1), 3, stride 2)`` without ever
@@ -491,22 +537,32 @@ def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
     (model/resnet_cubic.py:118-119,166-167).
 
     ``form``: interior-pool execution form — 'fused2d' (one 2-D
-    overlapping reduce_window) or 'separable' (3x1 rows then 1x3 cols;
-    exact, since max over a 3x3 window is the max of row maxes).  Default
-    None resolves CP360_POOL_FORM, falling back to 'fused2d'.
+    overlapping reduce_window), 'separable' (3x1 rows then 1x3 cols;
+    exact, since max over a 3x3 window is the max of row maxes),
+    'fused2d_dus' (same interior pool, but the row-0/col-0 edge
+    corrections land via dynamic_update_slice instead of whole-tensor
+    concats), or 'pairmax' (no reduce_window at all: per axis, the
+    3-wide stride-2 window max is the max of TWO contiguous pair-maxes —
+    ``max3[i] = max(max(y[2i],y[2i+1]), max(y[2i+1],y[2i+2]))`` — each a
+    plain reshape-reduce on an offset slice; exact, zero overlapping
+    windows, zero strided slices).  Default None resolves
+    CP360_POOL_FORM, falling back to 'fused2d_dus'.
     """
     if form is None:
-        form = POOL_FORM or "fused2d"
-    if form not in ("fused2d", "separable"):
+        form = POOL_FORM or "fused2d_dus"
+    if form not in ("fused2d", "fused2d_dus", "separable", "pairmax"):
         raise ValueError(f"unknown pool form {form!r}")
     n, six, h, w, c = x.shape
     assert six == 6 and h == w and h % 2 == 0, (n, six, h, w, c)
-    m = build_cube_pad_index_map(h, w, 1)  # [6, h+2, w+2] into flat [6hw]
-    ring_t = jnp.asarray(m[:, 0, : w + 1].reshape(-1))   # top halo row
-    ring_l = jnp.asarray(m[:, : h + 1, 0].reshape(-1))   # left halo col
-    flat = x.reshape(n, six * h * w, c)
-    halo_t = jnp.take(flat, ring_t, axis=1).reshape(n, six, w + 1, c)
-    halo_l = jnp.take(flat, ring_l, axis=1).reshape(n, six, h + 1, c)
+    if (HALO_SOURCE or "slice") == "slice":
+        halo_t, halo_l = _pool_halo_strips_slice(x)
+    else:
+        m = build_cube_pad_index_map(h, w, 1)  # [6,h+2,w+2] into flat [6hw]
+        ring_t = jnp.asarray(m[:, 0, : w + 1].reshape(-1))   # top halo row
+        ring_l = jnp.asarray(m[:, : h + 1, 0].reshape(-1))   # left halo col
+        flat = x.reshape(n, six * h * w, c)
+        halo_t = jnp.take(flat, ring_t, axis=1).reshape(n, six, w + 1, c)
+        halo_l = jnp.take(flat, ring_l, axis=1).reshape(n, six, h + 1, c)
 
     if jnp.issubdtype(x.dtype, jnp.floating):
         neg = jnp.asarray(-jnp.inf, x.dtype)
@@ -520,6 +576,22 @@ def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
         pooled = jax.lax.reduce_window(
             rows, neg, jax.lax.max, (1, 1, 3, 1), (1, 1, 2, 1), "VALID"
         ).reshape(n, six, h // 2, w // 2, c)
+    elif form == "pairmax":
+        def axis3s2(y, axis):
+            ln = (y.shape[axis] - 1) // 2
+            s0 = jax.lax.slice_in_dim(y, 0, 2 * ln, axis=axis)
+            s1 = jax.lax.slice_in_dim(y, 1, 2 * ln + 1, axis=axis)
+
+            def pm(z):
+                shp = list(z.shape)
+                shp[axis] = ln
+                shp.insert(axis + 1, 2)
+                return jnp.max(z.reshape(shp), axis=axis + 1)
+
+            return jnp.maximum(pm(s0), pm(s1))
+
+        pooled = axis3s2(axis3s2(xp, 1), 2).reshape(
+            n, six, h // 2, w // 2, c)
     else:
         pooled = jax.lax.reduce_window(
             xp, neg, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
@@ -531,6 +603,12 @@ def cube_pad_max_pool_3x3s2(x: jax.Array, form: str = None) -> jax.Array:
                            s[:, :, 2::2])
 
     row0 = jnp.maximum(pooled[:, :, 0], win3(halo_t))          # [n,6,w/2,c]
+    if form in ("fused2d_dus", "pairmax"):
+        # dus assembly: measured 5.21 vs 5.55 ms (concat rewrites the whole
+        # pooled tensor twice; POOL_FORMS_r05.json)
+        pooled = pooled.at[:, :, 0].set(row0)
+        col0 = jnp.maximum(pooled[:, :, :, 0], win3(halo_l))   # [n,6,h/2,c]
+        return pooled.at[:, :, :, 0].set(col0)
     pooled = jnp.concatenate([row0[:, :, None], pooled[:, :, 1:]], axis=2)
     col0 = jnp.maximum(pooled[:, :, :, 0], win3(halo_l))       # [n,6,h/2,c]
     return jnp.concatenate([col0[:, :, :, None], pooled[:, :, :, 1:]], axis=3)
@@ -588,26 +666,37 @@ def cube_pad_conv3x3(x: jax.Array, w: jax.Array, stride: int = 1,
     main = layers.conv2d(xf, w, stride=stride, padding=[(1, 1), (1, 1)],
                          compute_dtype=compute_dtype)
 
-    m = build_cube_pad_index_map(h, wd, 1)  # [6, h+2, w+2] into flat [6hw]
-    flat = x.reshape(n, 6 * h * wd, c)
-    # one gather for every strip this stride needs (halo bytes only); strip
-    # lengths differ (w+2 rows vs h cols) so segments are sliced by offset
-    segs = [m[:, 0, :],             # top row, with corners    [6, w+2]
-            m[:, 1:h + 1, 0]]       # left col, no corners     [6, h]
-    if stride == 1:
-        segs += [m[:, h + 1, :],    # bottom row, with corners [6, w+2]
-                 m[:, 1:h + 1, wd + 1]]  # right col           [6, h]
-    lens = [s.shape[1] for s in segs]
-    offs = np.concatenate([[0], np.cumsum(lens)])
-    ring = jnp.asarray(np.concatenate(segs, axis=1).reshape(-1))
-    total = int(offs[-1])
-    halo = jnp.take(flat, ring, axis=1).reshape(n * 6, total, c)
+    if (HALO_SOURCE or "slice") == "slice":
+        h_t, h_l, h_b, h_r = _conv_halo_strips_slice(x, stride == 1)
+        halo_t = h_t.reshape(n * 6, 1, wd + 2, c)
+        halo_l = h_l.reshape(n * 6, h, 1, c)
+        if stride == 1:
+            halo_b = h_b.reshape(n * 6, 1, wd + 2, c)
+            halo_r = h_r.reshape(n * 6, h, 1, c)
+    else:
+        m = build_cube_pad_index_map(h, wd, 1)  # [6,h+2,w+2] into [6hw]
+        flat = x.reshape(n, 6 * h * wd, c)
+        # one gather for every strip this stride needs (halo bytes only);
+        # strip lengths differ (w+2 vs h) so segments slice by offset
+        segs = [m[:, 0, :],             # top row, with corners    [6, w+2]
+                m[:, 1:h + 1, 0]]       # left col, no corners     [6, h]
+        if stride == 1:
+            segs += [m[:, h + 1, :],    # bottom row, with corners [6, w+2]
+                     m[:, 1:h + 1, wd + 1]]  # right col           [6, h]
+        lens = [s.shape[1] for s in segs]
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        ring = jnp.asarray(np.concatenate(segs, axis=1).reshape(-1))
+        total = int(offs[-1])
+        halo = jnp.take(flat, ring, axis=1).reshape(n * 6, total, c)
 
-    def seg(i):
-        return halo[:, int(offs[i]):int(offs[i + 1]), :]
+        def seg(i):
+            return halo[:, int(offs[i]):int(offs[i + 1]), :]
 
-    halo_t = seg(0)[:, None]                           # [B, 1, w+2, c]
-    halo_l = seg(1)[:, :, None]                        # [B, h, 1, c]
+        halo_t = seg(0)[:, None]                       # [B, 1, w+2, c]
+        halo_l = seg(1)[:, :, None]                    # [B, h, 1, c]
+        if stride == 1:
+            halo_b = seg(2)[:, None]
+            halo_r = seg(3)[:, :, None]
     corr_t = layers.conv2d(halo_t, w[0:1], stride=(1, stride),
                            compute_dtype=compute_dtype)
     corr_l = layers.conv2d(halo_l, w[:, 0:1], stride=(stride, 1),
@@ -616,8 +705,6 @@ def cube_pad_conv3x3(x: jax.Array, w: jax.Array, stride: int = 1,
     out = main.at[:, 0, :, :].add(corr_t[:, 0])
     out = out.at[:, :, 0, :].add(corr_l[:, :, 0])
     if stride == 1:
-        halo_b = seg(2)[:, None]
-        halo_r = seg(3)[:, :, None]
         corr_b = layers.conv2d(halo_b, w[2:3], compute_dtype=compute_dtype)
         corr_r = layers.conv2d(halo_r, w[:, 2:3],
                                padding=[(1, 1), (0, 0)],

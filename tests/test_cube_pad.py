@@ -131,7 +131,7 @@ def test_cube_pad_max_pool_fused_exact():
                      (16, 4, np.float16)):
         x = jnp.asarray(rng.randn(2, 6, h, h, c).astype(dt))
         want = max_pool(cube_pad(x, 1).reshape(12, h + 2, h + 2, c), 3, 2)
-        for form in ("fused2d", "separable"):
+        for form in ("fused2d", "fused2d_dus", "separable", "pairmax"):
             got = cube_pad_max_pool_3x3s2(x, form=form)
             np.testing.assert_array_equal(
                 np.asarray(got).reshape(12, h // 2, h // 2, c),

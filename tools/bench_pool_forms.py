@@ -39,6 +39,9 @@ def main():
 
     from cp360_tpu.models.layers import max_pool
     from cp360_tpu.ops.cube_pad import cube_pad, cube_pad_max_pool_3x3s2
+    from cp360_tpu.utils.transfer import warm_link
+
+    warm_link()  # absorb a degraded-phase cold first-fetch (CLAUDE.md)
 
     h, c = 112, 64  # production stem output (stage-1 resnet50 @ 224)
 
@@ -49,6 +52,8 @@ def main():
     forms = {
         "unfused": unfused,
         "fused2d": lambda x: cube_pad_max_pool_3x3s2(x, form="fused2d"),
+        "fused2d_dus": lambda x: cube_pad_max_pool_3x3s2(x, form="fused2d_dus"),
+        "pairmax": lambda x: cube_pad_max_pool_3x3s2(x, form="pairmax"),
         "separable": lambda x: cube_pad_max_pool_3x3s2(x, form="separable"),
     }
 

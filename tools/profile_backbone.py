@@ -80,24 +80,35 @@ def _stage_fns(jax, jnp, params, use_cp):
     dt = jnp.bfloat16
 
     def upto(x, n_stages):
-        out = _pad(x, 3, use_cp)
+        # mirrors the SHIPPED resnet_apply structure (r5: fused stem
+        # pad+pool, halo bottleneck cube convs under bf16)
+        out = x.astype(dt)
+        out = _pad(out, 3, use_cp)
         out = layers.conv2d(out, params["conv1"]["w"], stride=2,
                             compute_dtype=dt)
         if n_stages == 0:
             return out
         out = layers.batch_norm(out, params["bn1"])
         out = jax.nn.relu(out)
-        out = _pad(out, 1, use_cp)
-        out = layers.max_pool(out, 3, 2)
+        if use_cp:
+            from cp360_tpu.ops.cube_pad import cube_pad_max_pool_3x3s2
+
+            out = cube_pad_max_pool_3x3s2(out.reshape(-1, 6, *out.shape[1:]))
+            out = out.reshape(-1, *out.shape[2:])
+        else:
+            out = _pad(out, 1, use_cp)
+            out = layers.max_pool(out, 3, 2)
         if n_stages == 1:
             return out
+        conv_form = "halo" if use_cp else "pad"
         for li, depth in enumerate(depths):
             if n_stages - 2 < li:
                 return out
             stage = params[f"layer{li + 1}"]
             for bi in range(depth):
                 stride = 2 if (li > 0 and bi == 0) else 1
-                out = _bottleneck(stage[bi], out, stride, use_cp, dt)
+                out = _bottleneck(stage[bi], out, stride, use_cp, dt,
+                                  conv_form=conv_form)
         return out
 
     names = ["stem_conv", "bn_relu_pool", "layer1", "layer2", "layer3",
