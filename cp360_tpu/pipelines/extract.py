@@ -176,6 +176,54 @@ def host_faces_for_upload(frame_u8: np.ndarray, cube_dim: int, yuv: bool):
     return host_rgb_to_yuv420(faces) if yuv else faces
 
 
+# Chroma-upsample execution form (measured on-chip r5, tools/bench_yuv_up.py):
+# 'slice' rebuilds the static 2x bilinear taps from shifted slices + a
+# stack/reshape interleave; 'take' is the original jnp.take gather form.
+# jnp.take of short rows is this libtpu's known gather pathology (CLAUDE.md)
+# — the halo strips measured ~1 ms for the same pattern at far smaller sizes.
+_YUV_UP_FORM = os.environ.get("CP360_YUV_UP", "")
+if _YUV_UP_FORM not in ("", "take", "slice"):
+    raise ValueError(
+        f"CP360_YUV_UP={_YUV_UP_FORM!r} is not one of '', 'take', 'slice'")
+
+
+def _up2_axis_take(x: jax.Array, axis: int, n_out: int) -> jax.Array:
+    """2x bilinear upsample along ``axis`` via a gather (reference form)."""
+    pos = (jnp.arange(n_out, dtype=jnp.float32) - 0.5) / 2.0
+    i0 = jnp.clip(jnp.floor(pos), 0, x.shape[axis] - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, x.shape[axis] - 1)
+    frac = jnp.clip(pos - i0, 0.0, 1.0)
+    a = jnp.take(x, i0, axis=axis)
+    b = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    frac = frac.reshape(shape)
+    return a * (1 - frac) + b * frac
+
+
+def _up2_axis_slice(x: jax.Array, axis: int, n_out: int) -> jax.Array:
+    """2x bilinear upsample along ``axis`` from shifted slices (no gather).
+
+    The tap pattern is static: out[2j] = 0.25*in[j-1] + 0.75*in[j] (j>=1,
+    out[0]=in[0]), out[2j+1] = 0.75*in[j] + 0.25*in[j+1] (j<n-1,
+    out[2n-1]=in[n-1]) — identical coefficients (and operand order, so
+    bit-identical results) to the gather form's clipped (k-0.5)/2 sampling.
+    """
+    n = x.shape[axis]
+    assert n_out == 2 * n
+
+    def sl(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    lo, hi = sl(0, n - 1), sl(1, n)
+    even = jnp.concatenate([sl(0, 1), 0.25 * lo + 0.75 * hi], axis=axis)
+    odd = jnp.concatenate([0.75 * lo + 0.25 * hi, sl(n - 1, n)], axis=axis)
+    inter = jnp.stack([even, odd], axis=axis + 1)
+    return inter.reshape(*x.shape[:axis], n_out, *x.shape[axis + 1:])
+
+
 def _device_yuv420_to_rgb01(y_u8: jax.Array, uv_u8: jax.Array) -> jax.Array:
     """Inverse of :func:`host_rgb_to_yuv420` on device -> float RGB in [0,1].
 
@@ -185,20 +233,8 @@ def _device_yuv420_to_rgb01(y_u8: jax.Array, uv_u8: jax.Array) -> jax.Array:
     uv = uv_u8.astype(jnp.float32) - 128.0
     *lead, h2, w2, _ = uv.shape
     uv_flat = uv.reshape(-1, h2, w2, 2)
-    # box centers sit at (2i+0.5, 2j+0.5); output pixel k samples at
-    # (k - 0.5) / 2 in box coordinates
-    def up_axis(x, axis, n_out):
-        pos = (jnp.arange(n_out, dtype=jnp.float32) - 0.5) / 2.0
-        i0 = jnp.clip(jnp.floor(pos), 0, x.shape[axis] - 1).astype(jnp.int32)
-        i1 = jnp.clip(i0 + 1, 0, x.shape[axis] - 1)
-        frac = jnp.clip(pos - i0, 0.0, 1.0)
-        a = jnp.take(x, i0, axis=axis)
-        b = jnp.take(x, i1, axis=axis)
-        shape = [1] * x.ndim
-        shape[axis] = n_out
-        frac = frac.reshape(shape)
-        return a * (1 - frac) + b * frac
-
+    up_axis = (_up2_axis_slice if (_YUV_UP_FORM or "slice") == "slice"
+               else _up2_axis_take)
     up = up_axis(up_axis(uv_flat, 1, h2 * 2), 2, w2 * 2)
     up = up.reshape(*lead, h2 * 2, w2 * 2, 2)
     u, v = up[..., 0], up[..., 1]

@@ -138,6 +138,30 @@ def test_cube_pad_max_pool_fused_exact():
                 np.asarray(want), err_msg=form)
 
 
+def test_halo_strip_sources_bit_equal(monkeypatch):
+    """The slice/flip plate halo strips (CP360_HALO_SOURCE=slice, the TPU
+    default — short-C-row jnp.take is this libtpu's gather pathology) give
+    BIT-identical fused-pool and halo-conv results to the index-map gather
+    source."""
+    from cp360_tpu.ops import cube_pad as cp
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 14, 14, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 4).astype(np.float32))
+    outs = {}
+    for src in ("gather", "slice"):
+        monkeypatch.setattr(cp, "HALO_SOURCE", src)
+        # HALO_SOURCE is trace-time Python: clear the pool's jit cache so
+        # each source actually retraces (cube_pad_conv3x3 is unjitted)
+        cp.cube_pad_max_pool_3x3s2.clear_cache()
+        outs[src] = (np.asarray(cp.cube_pad_max_pool_3x3s2(x)),
+                     np.asarray(cp.cube_pad_conv3x3(x, w, form="halo")),
+                     np.asarray(cp.cube_pad_conv3x3(x, w, stride=2,
+                                                    form="halo")))
+    for a, b in zip(outs["gather"], outs["slice"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cube_pad_max_pool_rejects_unknown_form():
     from cp360_tpu.ops.cube_pad import cube_pad_max_pool_3x3s2
 

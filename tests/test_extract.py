@@ -163,6 +163,25 @@ def test_yuv420_roundtrip_bounded():
     assert err.mean() < 4.0 and np.percentile(err, 99) < 25.0
 
 
+def test_yuv_upsample_slice_form_bit_exact():
+    """The slice/interleave chroma upsample (CP360_YUV_UP=slice, the TPU
+    default — jnp.take of short rows is this libtpu's gather pathology) is
+    BIT-identical to the gather form at every size, even and odd."""
+    import jax.numpy as jnp
+
+    from cp360_tpu.pipelines.extract import _up2_axis_slice, _up2_axis_take
+
+    rng = np.random.RandomState(3)
+    for shape, axis in [((4, 112, 112, 2), 1), ((4, 224, 112, 2), 2),
+                        ((3, 7, 9, 2), 1), ((3, 7, 9, 2), 2),
+                        ((2, 1, 5, 2), 1)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        a = _up2_axis_take(x, axis, 2 * shape[axis])
+        b = _up2_axis_slice(x, axis, 2 * shape[axis])
+        assert a.shape == b.shape
+        assert bool((a == b).all()), (shape, axis)
+
+
 def _natural_frame(h, w, seed):
     """Multi-scale smooth texture — a natural-image-like spectrum (the iid-
     noise fixture above is the pathological worst case for 4:2:0: every
