@@ -199,7 +199,8 @@ def main():
         xs = jnp.asarray(rng.randn(2, 6, 16, 16, 8).astype(np.float32))
         want = np.asarray(cube_pad_max_pool_3x3s2(xs, form="fused2d_dus"))
     for variant in (("stride", "reshape", "lanefold_concat",
-                     "rowgrid_concat") if exact_only else ()):
+                     "lanefold_roll", "rowgrid_concat", "rowgrid_roll")
+                    if exact_only else ()):
         import jax.numpy as jnp
         from cp360_tpu.ops.cube_pad import _pool_halo_strips_slice
         if variant.startswith("rowgrid"):
